@@ -1,0 +1,115 @@
+"""Chunked tile blend in pure XLA (lax.scan) — the non-Pallas production path.
+
+Operates on the chunk-aligned binned splat lists from ``binning.py`` with
+exactly the semantics of ``renderCUDA_forward``
+(/root/reference/my_ext/_C/src/nerf/gaussian_render.cu:17-112); see
+``reference.py`` for the blend-math derivation. Differentiable via scan
+autodiff (residual memory ~ num_chunks * tile pixels, so use the Pallas
+custom-VJP path for large scenes).
+
+Gradient convention parity: the CUDA backward does NOT gate gradients on the
+0.99 alpha clamp (gaussian_render.cu:245-333 treats min() as identity), so
+alpha uses a straight-through clamp here.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import BinnedSplats
+from .settings import TILE, RasterConfig
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+def _tile_pixel_coords(chunk_tile: jnp.ndarray, cfg: RasterConfig):
+    """Pixel centers [num_chunks?, P] for each chunk's tile. Returns
+    (px [.., P], py [.., P]) with P = TILE*TILE, row-major within tile."""
+    tx = (chunk_tile % cfg.grid_w).astype(jnp.float32)
+    ty = (chunk_tile // cfg.grid_w).astype(jnp.float32)
+    lp = jnp.arange(TILE * TILE, dtype=jnp.float32)
+    lx = lp % TILE
+    ly = lp // TILE
+    px = tx[..., None] * TILE + lx[None, :]
+    py = ty[..., None] * TILE + ly[None, :]
+    return px, py
+
+
+def straight_through_alpha(opa, g):
+    """alpha = min(0.99, opa*g) forward, identity-gradient (CUDA parity)."""
+    raw = opa * g
+    return raw + jax.lax.stop_gradient(jnp.minimum(ALPHA_MAX, raw) - raw)
+
+
+def chunk_alpha(xy, conic, opa, px, py):
+    """Alpha matrix for one chunk: entries [C] x pixels [P] -> [C, P]."""
+    dx = px[None, :] - xy[:, 0:1]
+    dy = py[None, :] - xy[:, 1:2]
+    power = (-0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
+             - conic[:, 1:2] * dx * dy)
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = straight_through_alpha(opa[:, None], g)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(keep, alpha, 0.0)
+
+
+def blend_chunks_scan(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
+                      opa: jnp.ndarray, col: jnp.ndarray, cfg: RasterConfig
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan over chunks; returns (tile_color [T, P, CH], tile_alpha [T, P]).
+
+    Inputs are the (N+1)-row padded per-Gaussian attributes; gathering by
+    ``binned.gauss_index`` happens inside so its VJP (scatter-add) routes
+    chunk gradients back to Gaussians automatically.
+    """
+    C = cfg.chunk
+    P = TILE * TILE
+    CH = col.shape[-1]
+    n_chunks = binned.chunk_tile.shape[0]
+
+    gi = binned.gauss_index.reshape(n_chunks, C)
+    px_all, py_all = _tile_pixel_coords(binned.chunk_tile, cfg)
+
+    def step(T_run, inp):
+        gi_c, start, px, py = inp
+        T_run = jnp.where(start > 0, jnp.ones_like(T_run), T_run)
+        alpha = chunk_alpha(xys[gi_c], conic[gi_c], opa[gi_c], px, py)  # [C, P]
+        om = 1.0 - alpha
+        P_incl = T_run[None, :] * jnp.cumprod(om, axis=0)
+        contrib = P_incl >= T_EPS
+        w = jnp.where(contrib, alpha * P_incl / om, 0.0)            # [C, P]
+        color = jnp.einsum('cp,cd->pd', w, col[gi_c])               # [P, CH]
+        T_new = T_run * jnp.prod(jnp.where(contrib, om, 1.0), axis=0)
+        return T_new, (color, T_new)
+
+    T0 = jnp.ones((P,), dtype=jnp.float32)
+    _, (colors, T_ends) = jax.lax.scan(
+        step, T0, (gi, binned.chunk_start_flag, px_all, py_all))
+
+    T_tiles = cfg.num_tiles
+    tile_color = jax.ops.segment_sum(colors, binned.chunk_tile, num_segments=T_tiles)
+    # alpha of a tile = 1 - T at its last chunk
+    nxt_start = jnp.concatenate(
+        [binned.chunk_start_flag[1:], jnp.ones((1,), binned.chunk_start_flag.dtype)])
+    is_last = nxt_start > 0
+    tile_alpha = jax.ops.segment_sum(
+        jnp.where(is_last[:, None], 1.0 - T_ends, 0.0),
+        binned.chunk_tile, num_segments=T_tiles)
+    return tile_color, tile_alpha
+
+
+def assemble_image(tile_color: jnp.ndarray, tile_alpha: jnp.ndarray,
+                   cfg: RasterConfig) -> Dict[str, jnp.ndarray]:
+    """[T, P, CH] tiles -> [H, W, CH] image (+ [H, W] opacity), cropped."""
+    CH = tile_color.shape[-1]
+    gh, gw = cfg.grid_h, cfg.grid_w
+    img = tile_color.reshape(gh, gw, TILE, TILE, CH)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gh * TILE, gw * TILE, CH)
+    alpha = tile_alpha.reshape(gh, gw, TILE, TILE)
+    alpha = alpha.transpose(0, 2, 1, 3).reshape(gh * TILE, gw * TILE)
+    H, W = cfg.image_height, cfg.image_width
+    return {'images': img[:H, :W], 'opacity': alpha[:H, :W]}

@@ -1,0 +1,145 @@
+"""Per-Gaussian preprocessing: project, EWA cov2D, conic, tile rects, SH color.
+
+Vectorized pure JAX — the TPU equivalent of ``preprocessCUDA_colmap``
+(/root/reference/my_ext/_C/src/nerf/gaussian_preprocess_colmap.cu:156-224).
+The analytic CUDA backward (computeCov2DCUDA_colmap / preprocess backward)
+is replaced by XLA autodiff; everything here is elementwise/small-matmul work
+that XLA fuses into a handful of kernels.
+
+Math parity notes (all verified against the CUDA source):
+- cov3D: Sigma = R S^2 R^T from the (x,y,z,w) quaternion (cu:121-152).
+- cov2D: J W Sigma W^T J^T with view-space xy clamped to 1.3*tanfov,
+  followed by the +0.3 low-pass on the diagonal (cu:85-116).
+- radius: ceil(3 sqrt(max eigenvalue)), eigen discriminant clamped at 0.1
+  (cu:200-203); conic = inverse covariance (cu:192-195).
+- pixel coords: ndc2Pix(v, S) = ((v+1)*S - 1)/2 (cu:26).
+- frustum cull: view z <= 0.2 (cu:73); w-divide guard +1e-7 (cu:176).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..ops import quaternion as quat
+from ..ops import sh as sh_ops
+from .settings import TILE, GaussianInputs, RasterConfig, ViewParams
+
+
+class PreprocessOut(NamedTuple):
+    means2d: jnp.ndarray       # [N, 2] pixel coordinates
+    depths: jnp.ndarray        # [N] view-space z (+inf for culled)
+    conic: jnp.ndarray         # [N, 3] inverse 2D covariance (a, b, c)
+    colors: jnp.ndarray        # [N, C] RGB (+ extras appended by caller)
+    radius: jnp.ndarray        # [N] int32 pixel radius (0 for culled)
+    tiles_touched: jnp.ndarray  # [N] int32
+    rect_min: jnp.ndarray      # [N, 2] int32 tile coords (x, y)
+    rect_max: jnp.ndarray      # [N, 2] int32 tile coords, exclusive
+    visible: jnp.ndarray       # [N] bool
+
+
+def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
+                  scale_modifier: float = 1.0) -> jnp.ndarray:
+    """[N,3] scales + [N,4] quats -> [N, 3, 3] world covariance R S^2 R^T."""
+    R = quat.to_matrix(rotations, pre_normalize=True)
+    s2 = jnp.square(scales * scale_modifier)
+    return jnp.einsum('nij,nj,nkj->nik', R, s2, R)
+
+
+def project_points(means3d: jnp.ndarray, view: ViewParams):
+    """Returns (p_view [N,3], p_pix [N,2] pixel coords, p_ndc_z [N])."""
+    R, t = view.Tw2v[:3, :3], view.Tw2v[:3, 3]
+    p_view = means3d @ R.T + t
+    P = view.full_proj
+    p_hom = means3d @ P[:3, :3].T + P[:3, 3]
+    w = means3d @ P[3, :3].T + P[3, 3]
+    inv_w = 1.0 / (w + 1e-7)
+    p_ndc = p_hom * inv_w[:, None]
+    return p_view, p_ndc
+
+
+def ndc_to_pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, view: ViewParams,
+                  cfg: RasterConfig) -> jnp.ndarray:
+    """EWA screen-space covariance [N, 3] = (cxx, cxy, cyy), low-passed."""
+    fx = cfg.image_width / (2.0 * view.tan_fovx)
+    fy = cfg.image_height / (2.0 * view.tan_fovy)
+    tz = p_view[:, 2]
+    lim_x = 1.3 * view.tan_fovx
+    lim_y = 1.3 * view.tan_fovy
+    tx = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x) * tz
+    ty = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
+        jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
+    ], axis=-2)  # [N, 2, 3]
+    W = view.Tw2v[:3, :3]  # world->view rotation
+    A = jnp.einsum('nij,jk->nik', J, W)          # [N, 2, 3]
+    cov = jnp.einsum('nij,njk,nlk->nil', A, cov3d, A)  # [N, 2, 2]
+    cxx = cov[:, 0, 0] + 0.3
+    cyy = cov[:, 1, 1] + 0.3
+    cxy = cov[:, 0, 1]
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def preprocess(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
+               active_sh_degree: Optional[jnp.ndarray] = None) -> PreprocessOut:
+    """Full per-Gaussian preprocess. Culled / dead Gaussians end with
+    radius 0, tiles_touched 0 and depth +inf, so they never produce pairs."""
+    n = g.means3d.shape[0]
+    p_view, p_ndc = project_points(g.means3d, view)
+    in_front = p_view[:, 2] > cfg.near
+
+    cov3d = compute_cov3d(g.scales, g.rotations, cfg.scale_modifier)
+    cov2d = compute_cov2d(p_view, cov3d, view, cfg)
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
+    det_valid = det != 0.0
+    inv_det = 1.0 / jnp.where(det_valid, det, 1.0)
+    conic = jnp.stack([cov2d[:, 2] * inv_det, -cov2d[:, 1] * inv_det,
+                       cov2d[:, 0] * inv_det], axis=-1)
+
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam_max = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    px = ndc_to_pix(p_ndc[:, 0], cfg.image_width)
+    py = ndc_to_pix(p_ndc[:, 1], cfg.image_height)
+    means2d = jnp.stack([px, py], axis=-1)
+
+    # tile rect (getRect, /root/reference/my_ext/_C/src/include/util.cuh)
+    rect_min_x = jnp.clip(((px - radius_f) / TILE).astype(jnp.int32), 0, cfg.grid_w)
+    rect_min_y = jnp.clip(((py - radius_f) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    rect_max_x = jnp.clip(((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_w)
+    rect_max_y = jnp.clip(((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+
+    visible = in_front & det_valid & (area > 0)
+    if g.mask is not None:
+        visible = visible & g.mask
+
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(visible, area, 0).astype(jnp.int32)
+    depths = jnp.where(visible, p_view[:, 2], jnp.inf)
+
+    if g.colors is not None:
+        colors = g.colors
+    else:
+        sh = g.sh
+        if active_sh_degree is not None:
+            band_mask = sh_ops.sh_degree_mask(cfg.sh_degree, active_sh_degree)
+            sh = sh * band_mask[None, :, None]
+        colors = sh_ops.sh_to_color(cfg.sh_degree, sh, g.means3d, view.campos)
+
+    rect_min = jnp.stack([rect_min_x, rect_min_y], axis=-1)
+    rect_max = jnp.stack([rect_max_x, rect_max_y], axis=-1)
+    return PreprocessOut(means2d, depths, conic, colors, radius,
+                         tiles_touched, rect_min, rect_max, visible)

@@ -1,0 +1,81 @@
+"""Public differentiable render API: preprocess -> binning -> tile blend.
+
+The TPU-native counterpart of ``render``
+(/root/reference/networks/renderer/gaussian_render.py:285) +
+``_RasterizeGaussians`` (:51-188). Contract parity with the in-repo fork:
+
+- returns pre-background ``images`` [H, W, C] and ``opacity`` [H, W]; the
+  caller composites ``images + (1 - opacity[..., None]) * bg``
+  (/root/reference/networks/sk_gs.py:1229-1231);
+- ``radii``/``visible`` feed adaptive density control;
+- ``means2d_offset``: pass zeros [N, 2] and take grads w.r.t. it to get the
+  screen-space position gradients used for densification stats (functional
+  equivalent of the reference's grad-retaining ``viewspace_points`` zeros
+  tensor, gaussian_render.py:291-300);
+- extra per-Gaussian channels are appended to colors and rendered in the
+  same pass (reference renders them in separate buffer-reusing passes,
+  gaussian_rasterizer_extra.cu).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from . import blend_xla
+from .binning import build_tile_lists
+from .preprocess import preprocess
+from .settings import GaussianInputs, RasterConfig, ViewParams
+
+
+def render(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
+           active_sh_degree: Optional[jnp.ndarray] = None,
+           means2d_offset: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    pre = preprocess(g, view, cfg, active_sh_degree)
+    means2d = pre.means2d if means2d_offset is None else pre.means2d + means2d_offset
+
+    colors = pre.colors
+    if g.extras is not None:
+        colors = jnp.concatenate([colors, g.extras], axis=-1)
+
+    binned = build_tile_lists(pre, cfg)
+
+    # (N+1)-row padding: dummy row with opacity 0 -> alpha 0, no gradient
+    pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+    xys_p = pad1(means2d)
+    conic_p = pad1(pre.conic)
+    opa_p = pad1(g.opacities.reshape(-1))
+    col_p = pad1(colors)
+
+    if cfg.use_pallas:
+        from .tile_kernel import blend_chunks_pallas
+        tile_color, tile_alpha = blend_chunks_pallas(
+            binned, xys_p, conic_p, opa_p, col_p, cfg)
+    else:
+        tile_color, tile_alpha = blend_xla.blend_chunks_scan(
+            binned, xys_p, conic_p, opa_p, col_p, cfg)
+
+    out = blend_xla.assemble_image(tile_color, tile_alpha, cfg)
+    images = out['images']
+    result = {
+        'images': images[..., :3] if g.extras is not None else images,
+        'opacity': out['opacity'],
+        'radii': pre.radius,
+        'visible': pre.visible,
+        'num_pairs': binned.num_pairs,
+        'overflow': binned.overflow,
+    }
+    if g.extras is not None:
+        result['extras'] = images[..., 3:]
+    return result
+
+
+def composite_background(images: jnp.ndarray, opacity: jnp.ndarray,
+                         background: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """images + (1 - opacity) * bg — the reference's python-side composite
+    (/root/reference/networks/sk_gs.py:1230-1231)."""
+    if background is None:
+        return images
+    bg = jnp.asarray(background, images.dtype)
+    return images + (1.0 - opacity)[..., None] * jnp.broadcast_to(
+        bg, images.shape)
