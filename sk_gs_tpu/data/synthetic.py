@@ -1,0 +1,149 @@
+"""Synthetic articulated scene generator.
+
+Produces a ground-truth dynamic Gaussian scene (a kinematic chain of rigid
+clusters swinging over time), renders it with the production renderer from
+orbiting cameras, and packages the result as a Scene. Serves as the
+data-free stand-in for D-NeRF scenes in tests and benchmarks (no datasets
+ship with this container).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quaternion as quat
+from ..ops import se3
+from ..ops import transforms as tf
+from ..render import (GaussianInputs, RasterConfig, ViewParams,
+                      composite_background, render)
+from .base import Scene, SceneMeta, build_scene
+
+
+class ArticulatedGT(NamedTuple):
+    """Ground-truth scene: canonical gaussians + per-frame link transforms."""
+    means: np.ndarray        # [N, 3] canonical
+    scales: np.ndarray       # [N, 3]
+    rotations: np.ndarray    # [N, 4]
+    opacities: np.ndarray    # [N]
+    colors: np.ndarray       # [N, 3]
+    link_of: np.ndarray      # [N] which chain link each gaussian belongs to
+    link_T: np.ndarray       # [F, L, 7] per-frame SE3 per link
+
+
+def make_chain_gt(rng: np.random.Generator, num_links: int = 3,
+                  gauss_per_link: int = 120, num_frames: int = 24,
+                  swing: float = 0.6) -> ArticulatedGT:
+    """Kinematic chain along +x; link k swings about joint at x=k*L."""
+    L = 0.8
+    means, link_of, colors = [], [], []
+    for k in range(num_links):
+        c = rng.normal(size=(gauss_per_link, 3)).astype(np.float32) \
+            * np.array([0.25, 0.12, 0.12], np.float32)
+        c[:, 0] += k * L + L / 2
+        means.append(c)
+        link_of.append(np.full(gauss_per_link, k, np.int32))
+        base = rng.uniform(0.2, 1.0, size=3).astype(np.float32)
+        colors.append(np.tile(base, (gauss_per_link, 1))
+                      + rng.normal(size=(gauss_per_link, 3)).astype(np.float32) * 0.05)
+    means = np.concatenate(means) - np.array([num_links * L / 2, 0, 0], np.float32)
+    link_of = np.concatenate(link_of)
+    colors = np.clip(np.concatenate(colors), 0, 1)
+    n = means.shape[0]
+    scales = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 3.0)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.6, 0.95, size=n).astype(np.float32)
+
+    # per-frame link transforms: FK down the chain, joint k at x = k*L - off
+    link_T = np.zeros((num_frames, num_links, 7), np.float32)
+    off = num_links * L / 2
+    for f in range(num_frames):
+        t = f / max(num_frames - 1, 1)
+        angle = swing * np.sin(2 * np.pi * t)
+        running = np.asarray(se3.se3_identity(()), np.float32)
+        for k in range(num_links):
+            if k == 0:
+                local = np.asarray(se3.se3_identity(()), np.float32)
+            else:
+                joint = np.array([k * L - off, 0, 0], np.float32)
+                qk = np.asarray(quat.from_axis_angle(
+                    jnp.asarray([0.0, 0, 1.0]), jnp.asarray(angle * (k % 2 * 2 - 1))))
+                tk = joint + np.asarray(quat.apply(jnp.asarray(qk), jnp.asarray(-joint)))
+                local = np.concatenate([tk, qk]).astype(np.float32)
+            running = np.asarray(se3.se3_mul(jnp.asarray(running),
+                                             jnp.asarray(local)))
+            link_T[f, k] = running
+    return ArticulatedGT(means, scales, q, opac, colors, link_of, link_T)
+
+
+def gt_frame_gaussians(gt: ArticulatedGT, frame: int) -> GaussianInputs:
+    T = jnp.asarray(gt.link_T[frame])[gt.link_of]       # [N, 7]
+    means_t = se3.se3_act(T, jnp.asarray(gt.means))
+    rot_t = quat.multiply(T[:, 3:7], jnp.asarray(gt.rotations))
+    return GaussianInputs(
+        means3d=means_t, scales=jnp.asarray(gt.scales), rotations=rot_t,
+        opacities=jnp.asarray(gt.opacities), colors=jnp.asarray(gt.colors))
+
+
+def orbit_views(num_views: int, radius: float = 4.0, h: int = 64, w: int = 64,
+                fovy: float = 0.8, near: float = 0.5, far: float = 20.0,
+                elevation: float = 0.35):
+    """Camera-to-world matrices orbiting the origin (colmap convention)."""
+    Tv2w = []
+    fovx = 2 * np.arctan(np.tan(fovy / 2) * w / h)
+    for i in range(num_views):
+        ang = 2 * np.pi * i / num_views
+        eye = np.array([radius * np.sin(ang),
+                        radius * np.sin(elevation),
+                        -radius * np.cos(ang)], np.float32)
+        Tw2v = np.asarray(tf.look_at(jnp.asarray(eye), jnp.zeros(3),
+                                     jnp.asarray([0.0, -1.0, 0.0]),
+                                     coord='opencv'))
+        Tv2w.append(np.linalg.inv(Tw2v))
+    return np.stack(Tv2w), fovx
+
+
+def make_synthetic_scene(seed: int = 0, num_links: int = 3,
+                         gauss_per_link: int = 120, num_frames: int = 24,
+                         h: int = 64, w: int = 64, background: str = 'white',
+                         pair_capacity: int = 2 ** 16, chunk: int = 64,
+                         use_pallas: bool = False
+                         ) -> Tuple[Scene, SceneMeta, ArticulatedGT]:
+    """Render the GT chain from an orbit (one camera per time step, matching
+    the D-NeRF monocular protocol)."""
+    rng = np.random.default_rng(seed)
+    gt = make_chain_gt(rng, num_links, gauss_per_link, num_frames)
+    Tv2w, fovx = orbit_views(num_frames, h=h, w=w)
+    fovy = tf.fovx_to_fovy(fovx, w / h)
+    cfg = RasterConfig(image_width=w, image_height=h, sh_degree=0,
+                       pair_capacity=pair_capacity, chunk=chunk,
+                       use_pallas=use_pallas)
+    meta = SceneMeta(background_type=background, near=0.5, far=20.0,
+                     scene='synthetic_chain')
+
+    Tv2c = np.asarray(tf.perspective_opencv(
+        jnp.asarray(fovy, jnp.float32), size=(w, h), n=meta.near, f=meta.far))
+    images = []
+    bg = jnp.ones(3) if background == 'white' else jnp.zeros(3)
+
+    @jax.jit
+    def render_frame(g: GaussianInputs, Tw2v, campos):
+        view = ViewParams(Tw2v=Tw2v, Tv2c=jnp.asarray(Tv2c), campos=campos,
+                          tan_fovx=jnp.asarray(np.tan(fovx / 2), jnp.float32),
+                          tan_fovy=jnp.asarray(np.tan(fovy / 2), jnp.float32))
+        out = render(g, view, cfg)
+        return composite_background(out['images'], out['opacity'], bg)
+
+    for f in range(num_frames):
+        g = gt_frame_gaussians(gt, f)
+        Tw2v = jnp.asarray(np.linalg.inv(Tv2w[f]).astype(np.float32))
+        img = render_frame(g, Tw2v, jnp.asarray(Tv2w[f, :3, 3]))
+        images.append(np.asarray(img))
+
+    images = np.stack(images)
+    times = np.linspace(0, 1, num_frames).astype(np.float32)
+    scene, meta = build_scene(images, Tv2w, fovx, times, meta)
+    return scene, meta, gt

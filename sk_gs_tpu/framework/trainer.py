@@ -1,0 +1,502 @@
+"""Staged SK-GS training loop (host orchestration + per-stage jitted steps).
+
+The functional re-design of ``GaussianTrainTask``
+(/root/reference/train.py:18-389) + ``IterableFramework.run``
+(my_ext/framework.py:634-691):
+
+- stage dispatch is host-side; each stage family gets ONE jitted train step
+  (SURVEY §7: <= 8 compiles, no in-graph stage branching);
+- LR schedules / loss-weight schedules / interval checks run on host and
+  enter the step as traced scalars (never recompile);
+- stage transitions (superpoint init, gaussian re-init, skeleton init) and
+  adaptive control mutate the capacity-padded state between steps;
+- per-frame caches (sp_cache) update inside the step via scatter.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.base import Scene, SceneMeta
+from ..models import optim, sk_gs, sk_gs_ops, skeleton, superpoints
+from ..models.gaussian_splatting import (GaussianConfig, densify_and_prune,
+                                         accumulate_stats, expon_lr,
+                                         reset_opacity)
+from ..models.losses import LossWeights, l1_loss, psnr, ssim_loss
+from ..models.sk_gs import SKGSConfig, SKGSModel, forward_deltas
+from ..render import RasterConfig, composite_background, render
+from ..render.settings import GaussianInputs, ViewParams
+
+log = logging.getLogger(__name__)
+
+
+def check_interval_v2(step: int, interval: int, start: int, end: int,
+                      close: str = '()') -> bool:
+    """(every, start, end) interval logic (my_ext/utils/utils.py:126-146).
+    end < 0 means no end."""
+    if interval is None or interval <= 0:
+        return False
+    lo_ok = step >= start if close[0] == '[' else step > start
+    hi_ok = True if end < 0 else (step <= end if close[1] == ']' else step < end)
+    return lo_ok and hi_ok and (step - start) % interval == 0
+
+
+# ---------------------------------------------------------------- loss
+
+def masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def weight_sparsity_loss(w):
+    """Entropy sparsity on LBS weights (loss_weight_sparsity, sk_gs.py:1339)."""
+    eps = 1e-7
+    return -jnp.mean(w * jnp.log(w + eps) + (1 - w) * jnp.log(1 - w + eps))
+
+
+def weight_smooth_loss(w, knn_index):
+    """KNN weight TV (loss_weight_smooth, sk_gs.py:1357-1359)."""
+    return jnp.mean(jnp.abs(w[:, None] - w[knn_index]))
+
+
+@dataclass
+class TrainerState:
+    model: SKGSModel
+    opt_state: optim.AdamState
+    step: int = 0
+    key: jax.Array = None
+    gs_knn_index: Optional[jnp.ndarray] = None
+    best_psnr: float = -1.0
+    skeleton_initialized: bool = False
+    sp_initialized: bool = False
+    reinit_done: bool = False
+
+
+class SKGSTrainer:
+    """Host-side orchestration of the staged training."""
+
+    def __init__(self, cfg: SKGSConfig, rcfg: RasterConfig, scene: Scene,
+                 meta: SceneMeta, model: SKGSModel,
+                 loss_weights: Optional[LossWeights] = None,
+                 eval_scene: Optional[Scene] = None,
+                 pcd: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 gs_knn_num: int = 20,
+                 gs_knn_update_interval: Tuple[int, int] = (1000, 3000),
+                 seed: int = 0):
+        self.cfg = cfg
+        self.rcfg = rcfg
+        self.scene = scene
+        self.eval_scene = eval_scene
+        self.meta = meta
+        self.pcd = pcd
+        self.loss_w = loss_weights or LossWeights({
+            'image': {'method': 'l1', 'lambda': 0.8}, 'ssim': 0.2,
+            'sparse': 0.1, 'smooth': 0.1, 'joint': 1.0, 'joint_all': 1.0,
+            'c_net': 1.0, 'cmp_p': 1.0, 'cmp_t': 0.01, 'cmp_r': 0.01,
+            'cmp_s': 0.01})
+        self.gs_knn_num = gs_knn_num
+        self.gs_knn_update_interval = gs_knn_update_interval
+        self.state = TrainerState(
+            model=model, opt_state=optim.adam_init(model.params),
+            key=jax.random.PRNGKey(seed),
+            gs_knn_index=jnp.zeros((model.capacity, gs_knn_num), jnp.int32))
+        self._step_fns: Dict[str, Callable] = {}
+        self._bg = jnp.asarray(
+            self.meta.background if self.meta.background is not None
+            else (np.ones(3, np.float32)
+                  if self.meta.background_type == 'white'
+                  else np.zeros(3, np.float32)))
+
+    # ------------------------------------------------------------ lr
+
+    def lr_trees(self, step: int) -> Dict[str, Any]:
+        """Per-leaf LRs (get_params + update_learning_rate parity,
+        sk_gs.py:582-634). Stage-relative step offsets for deform/xyz."""
+        cfg = self.cfg
+        g = cfg.gauss
+        stages = cfg.stages
+        if step <= stages['sp_fix'][0]:
+            s = step
+        elif step <= stages['sp'][1]:
+            s = step - stages['sp_fix'][0]
+        else:
+            s = step - stages['sk_init'][0]
+        spatial = 5.0  # sk_gs.py:583 fixes lr_spatial_scale=5
+        lr = g.lr
+        xyz_lr = expon_lr(s, lr * g.lr_position_init * spatial,
+                          lr * g.lr_position_final * spatial,
+                          lr_delay_mult=g.lr_position_delay_mult,
+                          max_steps=g.lr_position_max_steps)
+        deform_base = cfg.lr_deform_scale * lr * spatial * g.lr_position_init
+        deform_lr = expon_lr(s, deform_base,
+                             lr * g.lr_position_final * cfg.lr_deform_scale,
+                             lr_delay_mult=g.lr_position_delay_mult,
+                             max_steps=cfg.lr_deform_max_steps)
+        lr_f = lr * cfg.lr_feature_scale
+        flat = {
+            'xyz': xyz_lr, 'f_dc': lr * g.lr_feature,
+            'f_rest': lr * g.lr_feature / 20.0,
+            'opacity': lr * g.lr_opacity, 'scaling': lr * g.lr_scaling,
+            'rotation': lr * g.lr_rotation,
+            'hyper': lr_f, 'sp_hyper': lr_f,
+            'sp_points': deform_base, 'sp_W': deform_base,
+            'sp_radius': deform_base, 'sp_weight': deform_base,
+            'joint_pos': deform_base, 'global_tr': 0.0,
+            'joints': deform_base * cfg.lr_joints,
+        }
+        params = self.state.model.params
+        tree = {}
+        for name, leaf in params.items():
+            if name in ('sp_deform', 'canonical', 'sk_deform'):
+                tree[name] = jax.tree.map(lambda _: deform_lr, leaf)
+            else:
+                tree[name] = flat.get(name, 0.0)
+        return tree
+
+    # ------------------------------------------------------------ step fns
+
+    def _get_step_fn(self, stage: str) -> Callable:
+        family = {'static': 'static', 'init_fix': 'init', 'init': 'init',
+                  'sp_fix': 'sp', 'sp': 'sp', 'sk_init': 'sk_init',
+                  'sk_fix': 'sk', 'sk': 'sk'}[stage]
+        if family not in self._step_fns:
+            self._step_fns[family] = self._build_step_fn(family)
+        return self._step_fns[family]
+
+    def _build_step_fn(self, family: str) -> Callable:
+        cfg, rcfg = self.cfg, self.rcfg
+        update_cache = family == 'sp'
+
+        @partial(jax.jit, static_argnames=('stage',))
+        def train_step(model: SKGSModel, opt_state, view: ViewParams,
+                       image, t, time_id, lrs, lw: Dict[str, jnp.ndarray],
+                       key, noise_scale, bg, gs_knn_index, stage: str):
+            k_noise, k_other = jax.random.split(key)
+
+            def loss_fn(params, m2d_off):
+                m = model._replace(params=params)
+                out_def = forward_deltas(cfg, m, t, stage, time_id=time_id,
+                                         key=k_noise, noise_scale=noise_scale)
+                p = params
+                scaling = p['scaling']
+                if family in ('init',):
+                    # uniform scales during init (get_scaling, sk_gs.py:560-564)
+                    mean_s = masked_mean(scaling, m.alive[:, None])
+                    scaling = jnp.broadcast_to(mean_s, scaling.shape)
+                scales = jnp.exp(scaling) + out_def.d_scaling
+                rot = p['rotation'] + out_def.d_rotation
+                # sqrt(sum+eps) form: finite gradient even at zero rows
+                rot = rot * jax.lax.rsqrt(
+                    jnp.sum(jnp.square(rot), axis=-1, keepdims=True) + 1e-18)
+                sh = jnp.concatenate([p['f_dc'], p['f_rest']], axis=1)
+                opac = jax.nn.sigmoid(p['opacity'][:, 0])
+                if stage == 'sk_init':
+                    # rgb path detached (sk_gs.py:1182-1184, 1580-1581)
+                    sh = jax.lax.stop_gradient(sh)
+                    opac = jax.lax.stop_gradient(opac)
+                g = GaussianInputs(
+                    means3d=p['xyz'] + out_def.d_xyz, scales=scales,
+                    rotations=rot, opacities=opac, sh=sh, mask=m.alive)
+                out = render(g, view, rcfg,
+                             active_sh_degree=m.active_sh_degree,
+                             means2d_offset=m2d_off)
+                img = composite_background(out['images'], out['opacity'], bg)
+
+                losses = {
+                    'rgb': lw['image'] * l1_loss(img, image),
+                    'ssim': lw['ssim'] * ssim_loss(img, image),
+                }
+                aux = dict(out_def.aux)
+                if family == 'sp':
+                    w = aux['knn_w']
+                    losses['sparse'] = lw['sparse'] * weight_sparsity_loss(w)
+                    losses['smooth'] = lw['smooth'] * weight_smooth_loss(
+                        w, gs_knn_index)
+                    # joint discovery losses
+                    cost = skeleton.joint_cost_matrix(
+                        params['joint_pos'],
+                        jax.lax.stop_gradient(aux['spT'])
+                        if cfg.sp_guided_detach else aux['spT'],
+                        model.sp_alive)
+                    cost_f = jnp.where(jnp.isfinite(cost), cost, 0.0)
+                    a = jnp.arange(cfg.num_superpoints)
+                    b = model.joint_parents[:, 0]
+                    is_root = a == model.joint_root
+                    pair_cost = jnp.where(
+                        is_root | ~model.sp_alive, 0.0,
+                        0.5 * (cost_f[a, b] + cost_f[b, a]))
+                    losses['joint'] = lw['joint'] * masked_mean(
+                        pair_cost, (~is_root) & model.sp_alive)
+                    alive2 = model.sp_alive[:, None] & model.sp_alive[None, :]
+                    losses['joint_all'] = lw['joint_all'] * masked_mean(
+                        cost_f, alive2)
+                    aux['joint_cost_now'] = jax.lax.stop_gradient(cost_f)
+                if stage == 'sk_init':
+                    # distill vs cached sp motion (loss_guided_sk_v2,
+                    # sk_gs.py:1467-1487)
+                    sp_tr, sp_d_rot, sp_d_scale = sk_gs.split_sp_cache(
+                        cfg, model.sp_cache[time_id])
+                    sp_tr = jax.lax.stop_gradient(sp_tr)
+                    points = jax.lax.stop_gradient(p['xyz'])
+                    sp_d_xyz = superpoints.warp_points(
+                        points, sp_tr, model.sp_weights, model.sp_knn,
+                        cfg.warp_method, model.p2sp)
+                    sp_rot_b = superpoints.blend_attr(
+                        sp_d_rot, model.sp_weights, model.sp_knn)
+                    sp_scale_b = superpoints.blend_attr(
+                        sp_d_scale, model.sp_weights, model.sp_knn)
+                    losses['rgb'] = jax.lax.stop_gradient(losses['rgb'])
+                    losses['ssim'] = jax.lax.stop_gradient(losses['ssim'])
+                    losses['cmp_t'] = lw['cmp_t'] * jnp.mean(
+                        jnp.square(out_def.d_xyz - sp_d_xyz))
+                    losses['cmp_r'] = lw['cmp_r'] * jnp.mean(
+                        jnp.square(out_def.d_rotation - sp_rot_b))
+                    losses['cmp_s'] = lw['cmp_s'] * jnp.mean(
+                        jnp.square(out_def.d_scaling - sp_scale_b))
+
+                total = sum(losses.values())
+                aux['losses'] = losses
+                aux['psnr'] = psnr(img, image)
+                aux['radii'] = out['radii']
+                aux['overflow'] = out['overflow']
+                return total, aux
+
+            m2d_off = jnp.zeros((model.capacity, 2))
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(model.params, m2d_off)
+            pgrads, m2d_grad = grads
+            new_params, new_opt = optim.adam_update(pgrads, opt_state,
+                                                    model.params, lrs)
+            model = model._replace(params=new_params)
+            model = model._replace(**_stats_update(model, aux, m2d_grad))
+            if update_cache and 'cache_row' in aux:
+                model = model._replace(
+                    sp_cache=model.sp_cache.at[time_id].set(
+                        jax.lax.stop_gradient(aux['cache_row'])))
+            if 'joint_cost_now' in aux:
+                new_cost = model.joint_cost * cfg.sk_momentum \
+                    + aux['joint_cost_now'] * (1 - cfg.sk_momentum)
+                model = model._replace(joint_cost=new_cost)
+            metrics = {'loss': total, 'psnr': aux['psnr'],
+                       'overflow': aux['overflow'],
+                       **{k: v for k, v in aux['losses'].items()}}
+            return model, new_opt, metrics
+
+        def _stats_update(model, aux, m2d_grad):
+            seen = aux['radii'] > 0
+            max_r = jnp.where(seen, jnp.maximum(
+                model.max_radii2d, aux['radii'].astype(jnp.float32)),
+                model.max_radii2d)
+            gnorm = jnp.linalg.norm(m2d_grad[:, :2], axis=-1)
+            return {
+                'max_radii2d': max_r,
+                'xyz_grad_accum': jnp.where(
+                    seen, model.xyz_grad_accum + gnorm, model.xyz_grad_accum),
+                'denom': jnp.where(seen, model.denom + 1.0, model.denom),
+            }
+
+        return train_step
+
+    # ------------------------------------------------------------ events
+
+    def maybe_stage_events(self, step: int):
+        """Host-side stage transitions BEFORE/AFTER steps."""
+        cfg = self.cfg
+        st = self.state
+        stages = cfg.stages
+        has_sp = stages['sp_fix'][2] > 0 or stages['sp'][2] > 0
+        # init_superpoints at init_sampling_step (adaptive_control_init_stage,
+        # sk_gs.py:1967-1972)
+        if (not st.sp_initialized and step == cfg.init_sampling_step
+                and has_sp):
+            st.key, k = jax.random.split(st.key)
+            st.model, st.opt_state = sk_gs_ops.init_superpoints(
+                cfg, st.model, st.opt_state, k)
+            st.sp_initialized = True
+            log.info('step %d: superpoints initialized by FPS', step)
+        # gaussian re-init at sp_fix start (hook_after_train_step)
+        if (not st.reinit_done and step == stages['sp_fix'][0]
+                and has_sp and stages['sp_fix'][0] > 0
+                and self.pcd is not None):
+            st.model, st.opt_state = sk_gs_ops.reinit_gaussians_at_sp_fix(
+                cfg, st.model, st.opt_state, self.pcd[0], self.pcd[1])
+            st.reinit_done = True
+            log.info('step %d: gaussians re-initialized from pcd', step)
+        # skeleton init lazily at first sk-family step
+        stage = cfg.stage_at(step)
+        if stage in ('sk_init', 'sk_fix', 'sk') and not st.skeleton_initialized:
+            st.key, k = jax.random.split(st.key)
+            st.model = sk_gs_ops.init_skeleton(
+                cfg, st.model, k,
+                joint_steps=min(cfg.joint_init_steps, 2000),
+                distill_steps=min(cfg.joint_init_steps, 2000))
+            st.skeleton_initialized = True
+            log.info('step %d: skeleton initialized', step)
+
+    def maybe_adaptive_control(self, step: int):
+        """Densify/prune/superpoint adjust on intervals (adaptive_control,
+        sk_gs.py:1940-2036). Host interval logic, jitted mutations."""
+        cfg = self.cfg
+        g = cfg.gauss
+        st = self.state
+        stages = cfg.stages
+        stage = cfg.stage_at(step)
+        if stage in ('static', 'init', 'init_fix'):
+            rel = step
+            if rel < cfg.init_sampling_step and check_interval_v2(
+                    rel, 100, 0, -1):
+                self._densify_prune(True, True, rel)
+            if check_interval_v2(rel, *g.opacity_reset_interval):
+                self._reset_opacity()
+            return
+        if stage in ('sp_fix', 'sp'):
+            rel = step - stages['sp_fix'][0]
+        elif stage in ('sk_fix', 'sk'):
+            return  # sk_densify_gs defaults False (sk_gs.py:1983)
+        else:
+            return
+
+        is_sp = stage == 'sp'
+        if is_sp and check_interval_v2(rel, 100, 10000, 20000, close='[)'):
+            st.model, st.opt_state, stats = sk_gs_ops.superpoint_prune_split(
+                cfg, st.model, st.opt_state)
+            log.info('step %d: sp prune/split -%d +%d', step,
+                     int(stats['n_pruned']), int(stats['n_split']))
+        if is_sp and check_interval_v2(rel, 100, 20000, 30000, close='[)'):
+            st.key, k = jax.random.split(st.key)
+            st.model, st.opt_state, stats = sk_gs_ops.superpoint_merge(
+                cfg, st.model, st.opt_state, k)
+            log.info('step %d: sp merge -%d', step, int(stats['n_merged']))
+
+        if check_interval_v2(rel, *g.densify_interval):
+            size_thr = g.prune_max_screen_size \
+                if rel > g.opacity_reset_interval[0] else 0.0
+            self._densify_prune(True, True, rel, size_thr)
+        if (rel > 1 and (rel - 1) % g.opacity_reset_interval[0] == 0) or \
+                (self.meta.background_type == 'white'
+                 and rel == g.densify_interval[1]):
+            self._reset_opacity()
+
+    def _densify_prune(self, do_densify, do_prune, rel_step, size_thr=0.0):
+        st = self.state
+        st.key, k = jax.random.split(st.key)
+        gm = st.model.gauss_view()
+        gm2, st.opt_state, stats = densify_and_prune(
+            gm, st.opt_state, self.cfg.gauss, self.meta.cameras_extent, k,
+            jnp.asarray(do_densify), jnp.asarray(do_prune),
+            jnp.asarray(size_thr, jnp.float32))
+        st.model = st.model._replace(
+            params={**st.model.params, **gm2.params}, alive=gm2.alive,
+            max_radii2d=gm2.max_radii2d, xyz_grad_accum=gm2.xyz_grad_accum,
+            denom=gm2.denom)
+
+    def _reset_opacity(self):
+        st = self.state
+        gm = st.model.gauss_view()
+        gm2, st.opt_state = reset_opacity(gm, st.opt_state)
+        st.model = st.model._replace(
+            params={**st.model.params, **gm2.params})
+
+    def update_sh_degree(self, step: int):
+        """SH-degree warmup restarts at sp_fix
+        (change_with_training_progress, sk_gs.py:1856-1863)."""
+        cfg = self.cfg
+        sp_fix_start = cfg.stages['sp_fix'][0]
+        m = self.state.model
+        if (step > sp_fix_start
+                and int(m.active_sh_degree) < cfg.gauss.sh_degree
+                and (step - sp_fix_start) % 1000 == 0):
+            self.state.model = m._replace(
+                active_sh_degree=m.active_sh_degree + 1)
+
+    def update_gs_knn(self, step: int):
+        if not check_interval_v2(step, *self.gs_knn_update_interval, -1) \
+                and step != 1:
+            return
+        from ..ops.knn import knn as knn_op
+        pts = self.state.model.params['xyz']
+        big = jnp.where(self.state.model.alive, 0.0, 1e12)
+        pts_m = pts + big[:, None]
+        _, idx = knn_op(pts_m, pts_m, self.gs_knn_num + 1)
+        self.state.gs_knn_index = idx[:, 1:]
+
+    # ------------------------------------------------------------ main loop
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        """Run training step ``step`` (1-based, reference convention)."""
+        cfg = self.cfg
+        st = self.state
+        self.maybe_stage_events(step)
+        stage = cfg.stage_at(step)
+        self.loss_w.set_step(step)
+        self.update_sh_degree(step)
+        if stage == 'sp':
+            self.update_gs_knn(step)
+
+        st.key, k_view, k_step = jax.random.split(st.key, 3)
+        vidx = int(jax.random.randint(k_view, (), 0, self.scene.num_views))
+        view = self.scene.view(vidx)
+        image = self.scene.images[vidx]
+        t = self.scene.times[vidx]
+        time_id = self.scene.time_ids[vidx]
+
+        lw = {name: jnp.asarray(self.loss_w.w(name), jnp.float32)
+              for name in ('image', 'ssim', 'sparse', 'smooth', 'joint',
+                           'joint_all', 'c_net', 'cmp_p', 'cmp_t', 'cmp_r',
+                           'cmp_s')}
+        noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
+        fn = self._get_step_fn(stage)
+        st.model, st.opt_state, metrics = fn(
+            st.model, st.opt_state, view, image, t, time_id,
+            self.lr_trees(step), lw, k_step,
+            jnp.asarray(noise, jnp.float32), self._bg, st.gs_knn_index,
+            stage=stage)
+
+        # joint tree update on interval (update_joint, sk_gs.py:1554-1557)
+        if stage == 'sp' and check_interval_v2(
+                step, *cfg.joint_update_interval, close='[)'):
+            parents, depth, root = skeleton.update_joint(
+                st.model.joint_cost, st.model.params['sp_points'][..., :3],
+                st.model.sp_alive, cfg.sk_knn_num)
+            st.model = st.model._replace(joint_parents=parents,
+                                         joint_depth=depth, joint_root=root)
+
+        self.maybe_adaptive_control(step)
+        st.step = step
+        return {k: float(v) for k, v in metrics.items()}
+
+    def evaluate(self, scene: Optional[Scene] = None,
+                 stage: Optional[str] = None) -> Dict[str, float]:
+        """PSNR/SSIM over a split (test.py protocol)."""
+        from ..models.losses import ssim as ssim_fn
+        scene = scene or self.eval_scene or self.scene
+        cfg = self.cfg
+        stage = stage or cfg.stage_at(max(self.state.step, 1))
+        psnrs, ssims = [], []
+        for i in range(scene.num_views):
+            img = self.render_view(scene, i, stage)
+            gt = scene.images[i]
+            psnrs.append(float(psnr(img, gt)))
+            ssims.append(float(ssim_fn(img[..., :3], gt[..., :3])))
+        return {'PSNR': float(np.mean(psnrs)), 'SSIM': float(np.mean(ssims))}
+
+    def render_view(self, scene: Scene, i: int, stage: str) -> jnp.ndarray:
+        cfg = self.cfg
+        m = self.state.model
+        out_def = forward_deltas(cfg, m, scene.times[i], stage,
+                                 time_id=scene.time_ids[i]
+                                 if stage.startswith('sk') else None)
+        from ..models.gaussian_splatting import gaussian_inputs
+        g = gaussian_inputs(m.gauss_view(), cfg.gauss,
+                            d_xyz=out_def.d_xyz,
+                            d_rotation=out_def.d_rotation,
+                            d_scaling=out_def.d_scaling)
+        out = render(g, scene.view(i), self.rcfg,
+                     active_sh_degree=m.active_sh_degree)
+        return composite_background(out['images'], out['opacity'], self._bg)

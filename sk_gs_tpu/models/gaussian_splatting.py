@@ -142,7 +142,8 @@ def gaussian_inputs(m: GaussianModel, cfg: GaussianConfig,
     scaling = p['scaling'] if scales_override is None else scales_override
     scales = jnp.exp(scaling) + d_scaling
     rot = p['rotation'] + d_rotation
-    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+    # sqrt(sum+eps) normalization: finite gradient even at zero rows
+    rot = rot * jax.lax.rsqrt(jnp.sum(jnp.square(rot), axis=-1, keepdims=True) + 1e-18)
     sh = jnp.concatenate([p['f_dc'], p['f_rest']], axis=1)
     return GaussianInputs(
         means3d=p['xyz'] + d_xyz,

@@ -180,6 +180,12 @@ def update_joint(cost: jnp.ndarray, sp_points: jnp.ndarray,
 
 # ---------------------------------------------------------------- joint cost
 
+def _safe_norm(x, axis=-1, eps=1e-12):
+    """norm with a finite gradient at 0 (plain norm NaNs there — identical
+    early-training transforms would poison joint_pos gradients)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis) + eps)
+
+
 def joint_cost_matrix(joint_pos: jnp.ndarray, spT: jnp.ndarray,
                       sp_alive: jnp.ndarray) -> jnp.ndarray:
     """Cost[a, b] = ||T_b(j_ab) - T_a(j_ab)|| + ||T_a(j_ab) - T_b(j_ba)||
@@ -190,8 +196,8 @@ def joint_cost_matrix(joint_pos: jnp.ndarray, spT: jnp.ndarray,
     """
     ja_by_b = se3.se3_act(spT[None, :, :], joint_pos)   # T_b applied to j[a,b]
     ja_by_a = se3.se3_act(spT[:, None, :], joint_pos)   # T_a applied to j[a,b]
-    c1 = jnp.linalg.norm(ja_by_b - ja_by_a, axis=-1)
-    c2 = jnp.linalg.norm(ja_by_a - jnp.swapaxes(ja_by_a, 0, 1), axis=-1)
+    c1 = _safe_norm(ja_by_b - ja_by_a)
+    c2 = _safe_norm(ja_by_a - jnp.swapaxes(ja_by_a, 0, 1))
     cost = c1 + c2
     valid = sp_alive[:, None] & sp_alive[None, :]
     return jnp.where(valid, cost, jnp.inf)

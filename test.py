@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Evaluate a trained SK-GS model: test-split metrics + FPS benchmark.
+
+Reference counterpart: /root/reference/test.py (render loop with device-event
+timing -> results.json with PSNR/SSIM/FPS; optional 1000-frame FPS sweep).
+
+    python test.py -c results/synthetic_smoke/config.yaml \
+        --load results/synthetic_smoke/checkpoints/best.npz [--fps-sweep]
+"""
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-c', '--config', required=True)
+    parser.add_argument('--load', required=True)
+    parser.add_argument('--set', nargs='*', default=[], dest='overrides')
+    parser.add_argument('--fps-sweep', action='store_true',
+                        help='1000-render FPS benchmark at varying t')
+    parser.add_argument('--out', default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / '.jax_cache'))
+    from sk_gs_tpu.framework.config import make_config
+    from sk_gs_tpu.framework.checkpoint import load_into_pytree
+    from sk_gs_tpu.framework.trainer import SKGSTrainer
+    from sk_gs_tpu.models import sk_gs
+    from sk_gs_tpu.models.gaussian_splatting import init_from_pcd
+    from train import build_model_cfg, build_scene
+
+    cfg = make_config(args.config, args.overrides)
+    scene, meta, eval_scene = build_scene(cfg)
+    skcfg, rcfg = build_model_cfg(cfg, meta, scene.image_size)
+
+    rng = np.random.default_rng(int(cfg['train'].get('seed', 0)))
+    n0 = int(cfg['train'].get('num_init_points', 2000))
+    pts = rng.uniform(-1.3, 1.3, size=(n0, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n0, 3)).astype(np.float32)
+    base = init_from_pcd(pts, cols, skcfg.gauss)
+    model = sk_gs.init_model(jax.random.PRNGKey(0), skcfg, base,
+                             np.asarray(meta.train_times))
+    loaded = load_into_pytree({'state': {'model': model, 'opt': None},
+                               'meta': {'step': 0}}, args.load)
+    model = loaded['state']['model']
+    step = int(np.asarray(loaded['meta']['step']))
+
+    trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
+                          eval_scene=eval_scene)
+    trainer.state.step = step or skcfg.total_steps
+    trainer.state.skeleton_initialized = True
+
+    stage = skcfg.stage_at(trainer.state.step) if step else 'sk'
+    t0 = time.time()
+    result = trainer.evaluate(eval_scene, stage=stage)
+    n_views = eval_scene.num_views
+    result['FPS'] = n_views / (time.time() - t0)
+    result['stage'] = stage
+    result['step'] = trainer.state.step
+
+    if args.fps_sweep:
+        # 1000-frame sweep at varying t (test.py:102-123 protocol)
+        from sk_gs_tpu.models.gaussian_splatting import gaussian_inputs
+        from sk_gs_tpu.models.sk_gs import forward_deltas
+        from sk_gs_tpu.render import composite_background, render
+
+        @jax.jit
+        def render_t(m, t):
+            out_def = forward_deltas(skcfg, m, t, stage)
+            g = gaussian_inputs(m.gauss_view(), skcfg.gauss,
+                                d_xyz=out_def.d_xyz,
+                                d_rotation=out_def.d_rotation,
+                                d_scaling=out_def.d_scaling)
+            out = render(g, eval_scene.view(0), rcfg,
+                         active_sh_degree=m.active_sh_degree)
+            return composite_background(out['images'], out['opacity'],
+                                        jnp.ones(3))
+
+        img = jax.block_until_ready(render_t(model, jnp.asarray(0.5)))
+        n = 1000
+        t0 = time.time()
+        for i in range(n):
+            img = render_t(model, jnp.asarray(i / n))
+        jax.block_until_ready(img)
+        result['FPS_sweep'] = n / (time.time() - t0)
+
+    out_path = Path(args.out) if args.out else Path(args.config).parent / 'results.json'
+    with out_path.open('w') as f:
+        json.dump(result, f, indent=2)
+    logging.info('results: %s -> %s', result, out_path)
+    return result
+
+
+if __name__ == '__main__':
+    main()

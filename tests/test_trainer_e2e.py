@@ -1,0 +1,130 @@
+"""End-to-end staged SK-GS training on a synthetic articulated scene.
+
+Miniature version of the reference 80k-step schedule: a handful of steps per
+stage, checking that every stage runs, transitions fire, and the loss
+improves through the static/init/sp path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sk_gs_tpu.data.synthetic import make_synthetic_scene
+from sk_gs_tpu.framework.trainer import SKGSTrainer, check_interval_v2
+from sk_gs_tpu.models import sk_gs
+from sk_gs_tpu.models.deform import DeformNetConfig, SkeletonNetConfig
+from sk_gs_tpu.models.gaussian_splatting import GaussianConfig, init_from_pcd
+from sk_gs_tpu.render import RasterConfig
+
+
+def tiny_cfg(num_frames):
+    return sk_gs.SKGSConfig(
+        gauss=GaussianConfig(
+            capacity=256, sh_degree=1,
+            densify_interval=(50, 10, 100000),
+            prune_interval=(50, 10, 100000),
+            opacity_reset_interval=(100000, 100000, -1)),
+        net=DeformNetConfig(depth=2, width=64, is_blender=True),
+        sk_net=SkeletonNetConfig(out_dims=(4, 4, 3), width=64, depth=2,
+                                 skips=(1,)),
+        train_schedule=(
+            ('static', 0), ('init_fix', 5), ('init', 15), ('sp_fix', 5),
+            ('sp', 20), ('sk_init', 5), ('sk_fix', 0), ('sk', 20)),
+        num_superpoints=16,
+        num_knn=3,
+        hyper_dim=2,
+        num_frames=num_frames,
+        sk_knn_num=3,
+        init_num_times=4,
+        init_sampling_step=10,
+        joint_init_steps=20,
+        joint_update_interval=(5, 25, 45),
+    )
+
+
+@pytest.fixture(scope='module')
+def synthetic():
+    return make_synthetic_scene(seed=0, num_links=2, gauss_per_link=60,
+                                num_frames=8, h=48, w=48,
+                                pair_capacity=2 ** 13, chunk=64)
+
+
+class TestCheckInterval:
+    def test_interval_semantics(self):
+        # (every, start, end) close='()' — parity with check_interval_v2
+        assert check_interval_v2(600, 100, 500, 15000)
+        assert not check_interval_v2(500, 100, 500, 15000)
+        assert not check_interval_v2(650, 100, 500, 15000)
+        assert check_interval_v2(500, 100, 500, 15000, close='[)')
+        assert not check_interval_v2(15000, 100, 500, 15000)
+        assert check_interval_v2(15000, 100, 500, -1)
+
+
+class TestStagedTraining:
+    def test_full_schedule_runs(self, synthetic):
+        scene, meta, gt = synthetic
+        cfg = tiny_cfg(meta.num_frames)
+        rcfg = RasterConfig(image_width=48, image_height=48, sh_degree=1,
+                            pair_capacity=2 ** 13, chunk=64, use_pallas=False)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1.5, 1.5, size=(200, 3)).astype(np.float32)
+        cols = rng.uniform(size=(200, 3)).astype(np.float32)
+        base = init_from_pcd(pts, cols, cfg.gauss)
+        model = sk_gs.init_model(jax.random.PRNGKey(0), cfg, base,
+                                 np.asarray(meta.train_times))
+        trainer = SKGSTrainer(cfg, rcfg, scene, meta, model,
+                              pcd=(pts, cols), gs_knn_num=5,
+                              gs_knn_update_interval=(10, 70))
+
+        stage_seen = set()
+        losses_by_stage = {}
+        for step in range(1, cfg.total_steps + 1):
+            metrics = trainer.train_step(step)
+            stage = cfg.stage_at(step)
+            stage_seen.add(stage)
+            losses_by_stage.setdefault(stage, []).append(metrics['loss'])
+            assert np.isfinite(metrics['loss']), f"step {step} stage {stage}"
+
+        assert {'init_fix', 'init', 'sp_fix', 'sp', 'sk_init', 'sk'} <= stage_seen
+        assert trainer.state.sp_initialized
+        assert trainer.state.reinit_done
+        assert trainer.state.skeleton_initialized
+        # model state sane after the whole schedule
+        m = trainer.state.model
+        assert bool(jnp.isfinite(m.params['xyz']).all())
+        assert bool(jnp.isfinite(m.params['joints']).all())
+        assert int(jnp.sum(m.sp_alive)) > 0
+        assert int(jnp.sum(m.alive)) > 0
+
+        # eval pipeline runs and returns sane metrics
+        result = trainer.evaluate(scene, stage='sk')
+        assert np.isfinite(result['PSNR'])
+        assert 0.0 <= result['SSIM'] <= 1.0
+
+    def test_static_convergence_through_trainer(self, synthetic):
+        # static-only schedule on frame 0; loss must drop
+        scene, meta, gt = synthetic
+        cfg = tiny_cfg(meta.num_frames)._replace(
+            train_schedule=(('static', 60),),
+            init_sampling_step=10 ** 9)
+        rcfg = RasterConfig(image_width=48, image_height=48, sh_degree=1,
+                            pair_capacity=2 ** 13, chunk=64, use_pallas=False)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1.5, 1.5, size=(200, 3)).astype(np.float32)
+        cols = rng.uniform(size=(200, 3)).astype(np.float32)
+        base = init_from_pcd(pts, cols, cfg.gauss)
+        model = sk_gs.init_model(jax.random.PRNGKey(1), cfg, base,
+                                 np.asarray(meta.train_times))
+        # single-frame scene (frame 0 repeated) so static can fit it
+        one = scene._replace(
+            images=jnp.tile(scene.images[:1], (4, 1, 1, 1)),
+            Tw2v=jnp.tile(scene.Tw2v[:1], (4, 1, 1)),
+            Tv2c=jnp.tile(scene.Tv2c[:1], (4, 1, 1)),
+            campos=jnp.tile(scene.campos[:1], (4, 1)),
+            tan_fovx=jnp.tile(scene.tan_fovx[:1], (4,)),
+            tan_fovy=jnp.tile(scene.tan_fovy[:1], (4,)),
+            times=jnp.zeros((4,)), time_ids=jnp.zeros((4,), jnp.int32),
+            camera_ids=jnp.zeros((4,), jnp.int32))
+        trainer = SKGSTrainer(cfg, rcfg, one, meta, model, pcd=(pts, cols))
+        losses = [trainer.train_step(s)['loss'] for s in range(1, 61)]
+        assert losses[-1] < losses[0] * 0.8, f"{losses[0]} -> {losses[-1]}"

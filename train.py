@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Train SK-GS (CLI entry; reference counterpart: /root/reference/train.py).
+
+    python train.py -c configs/synthetic_smoke.yaml
+    python train.py -c configs/d_nerf.yaml --set dataset.scene=hook
+"""
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def build_scene(cfg):
+    kind = cfg['dataset'].get('kind', 'synthetic')
+    if kind == 'synthetic':
+        from sk_gs_tpu.data.synthetic import make_synthetic_scene
+        d = cfg['dataset']
+        hw = int(d.get('image_size', 64))
+        scene, meta, gt = make_synthetic_scene(
+            seed=int(cfg['train'].get('seed', 0)),
+            num_links=int(d.get('num_links', 3)),
+            gauss_per_link=int(d.get('gauss_per_link', 120)),
+            num_frames=int(d.get('num_frames', 24)),
+            h=hw, w=hw, background=d.get('background', 'white'),
+            pair_capacity=int(cfg['raster']['pair_capacity']),
+            chunk=int(cfg['raster']['chunk']),
+            use_pallas=_use_pallas(cfg))
+        return scene, meta, scene  # eval on train split for synthetic
+    if kind == 'dnerf':
+        from sk_gs_tpu.data.dnerf import load_dnerf
+        d = cfg['dataset']
+        scene, meta = load_dnerf(d['root'], d['scene'], 'train',
+                                 downscale=int(d.get('downscale', 1)),
+                                 background=d.get('background', 'white'))
+        try:
+            eval_scene, _ = load_dnerf(d['root'], d['scene'], 'val',
+                                       downscale=int(d.get('downscale', 1)),
+                                       background=d.get('background', 'white'))
+        except FileNotFoundError:
+            eval_scene = scene
+        return scene, meta, eval_scene
+    raise NotImplementedError(f"dataset kind {kind}")
+
+
+def _use_pallas(cfg) -> bool:
+    setting = cfg['raster'].get('use_pallas', 'auto')
+    if setting == 'auto':
+        import jax
+        return jax.devices()[0].platform not in ('cpu',)
+    return bool(setting)
+
+
+def build_model_cfg(cfg, meta, image_size):
+    from sk_gs_tpu.models.deform import DeformNetConfig, SkeletonNetConfig
+    from sk_gs_tpu.models.gaussian_splatting import GaussianConfig
+    from sk_gs_tpu.models.sk_gs import SKGSConfig
+    from sk_gs_tpu.render import RasterConfig
+
+    m = cfg['model']
+    sched = tuple((k, int(v)) for k, v in cfg['train_schedule'].items())
+    net = DeformNetConfig(
+        depth=int(m['net'].get('depth', 8)), width=int(m['net'].get('width', 256)),
+        pos_degree=int(m['net'].get('pos_degree', 10)),
+        t_degree=int(m['net'].get('t_degree', 6)),
+        is_blender=bool(m.get('is_blender', True)),
+        sep_rot=bool(m.get('sep_rot', False)))
+    sk_net_skips = (max(1, int(m['net'].get('depth', 8)) // 2),)
+    skcfg = SKGSConfig(
+        gauss=GaussianConfig(capacity=int(m['capacity']),
+                             sh_degree=int(m['sh_degree']),
+                             lr=float(cfg['train'].get('lr', 1e-3))),
+        net=net,
+        sk_net=__import__('sk_gs_tpu.models.deform', fromlist=['SkeletonNetConfig'])
+        .SkeletonNetConfig(
+            out_dims=(4, 4, 3), width=int(m['net'].get('width', 256)),
+            depth=int(m['net'].get('depth', 8)), skips=sk_net_skips),
+        train_schedule=sched,
+        num_superpoints=int(m['num_superpoints']),
+        num_knn=int(m['num_knn']),
+        hyper_dim=int(m['hyper_dim']),
+        LBS_method=m.get('LBS_method', 'W'),
+        warp_method=m.get('warp_method', 'LBS'),
+        sep_rot=bool(m.get('sep_rot', False)),
+        num_frames=int(meta.num_frames),
+        canonical_time_id=int(m.get('canonical_time_id', 0)),
+        use_canonical_net=bool(m.get('use_canonical_net', True)),
+        canonical_replace_steps=tuple(m.get('canonical_replace_steps', ())),
+        sk_knn_num=int(m.get('sk_knn_num', 6)),
+        sk_momentum=float(m.get('sk_momentum', 0.9)),
+        joint_update_interval=tuple(m.get('joint_update_interval', (1000, 20000, 40000))),
+        joint_init_steps=int(m.get('joint_init_steps', 10000)),
+        init_num_times=int(m.get('init_num_times', 16)),
+        init_sampling_step=int(m.get('init_sampling_step', 7500)),
+        sp_prune_threshold=float(m.get('sp_prune_threshold', 1e-3)),
+        sp_split_threshold=float(m.get('sp_split_threshold', 2e-4)),
+        sp_merge_threshold=float(m.get('sp_merge_threshold', 5e-4)),
+        guided_step_start=int(m.get('guided_step_start', 40000)),
+    )
+    w, h = image_size
+    rcfg = RasterConfig(image_width=w, image_height=h,
+                        sh_degree=int(m['sh_degree']),
+                        pair_capacity=int(cfg['raster']['pair_capacity']),
+                        chunk=int(cfg['raster']['chunk']),
+                        use_pallas=_use_pallas(cfg))
+    return skcfg, rcfg
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-c', '--config', required=True)
+    parser.add_argument('--set', nargs='*', default=[], dest='overrides')
+    parser.add_argument('--steps', type=int, default=None,
+                        help='override total steps (truncate schedule)')
+    parser.add_argument('--resume', type=str, default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / '.jax_cache'))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from sk_gs_tpu.framework.config import make_config, save_config
+    from sk_gs_tpu.framework.checkpoint import CheckpointManager
+    from sk_gs_tpu.framework.trainer import SKGSTrainer
+    from sk_gs_tpu.models import sk_gs
+    from sk_gs_tpu.models.gaussian_splatting import init_from_pcd
+    from sk_gs_tpu.models.losses import LossWeights
+
+    cfg = make_config(args.config, args.overrides)
+    out_dir = Path(cfg.get('output_dir', 'results')) / cfg.get('exp_name', 'run')
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, out_dir / 'config.yaml')
+
+    scene, meta, eval_scene = build_scene(cfg)
+    skcfg, rcfg = build_model_cfg(cfg, meta, scene.image_size)
+
+    rng = np.random.default_rng(int(cfg['train'].get('seed', 0)))
+    n0 = int(cfg['train'].get('num_init_points', 2000))
+    pts = rng.uniform(-1.3, 1.3, size=(n0, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n0, 3)).astype(np.float32)
+    base = init_from_pcd(pts, cols, skcfg.gauss)
+    model = sk_gs.init_model(jax.random.PRNGKey(int(cfg['train'].get('seed', 0))),
+                             skcfg, base, np.asarray(meta.train_times))
+
+    trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
+                          loss_weights=LossWeights(cfg.get('loss', {})),
+                          eval_scene=eval_scene, pcd=(pts, cols),
+                          seed=int(cfg['train'].get('seed', 0)))
+    ckpt = CheckpointManager(out_dir / 'checkpoints',
+                             interval=int(cfg['train'].get('checkpoint_interval', 5000)))
+    total = args.steps or skcfg.total_steps
+    eval_interval = int(cfg['train'].get('eval_interval', 5000))
+    log_interval = int(cfg['train'].get('log_interval', 100))
+
+    start = 1
+    if args.resume:
+        loaded = ckpt.load({'model': trainer.state.model,
+                            'opt': trainer.state.opt_state}, args.resume)
+        trainer.state.model = loaded['state']['model']
+        trainer.state.opt_state = loaded['state']['opt']
+        start = int(loaded['meta']['step']) + 1
+        logging.info('resumed from step %d', start - 1)
+
+    t0 = time.time()
+    best = -1.0
+    for step in range(start, total + 1):
+        metrics = trainer.train_step(step)
+        if step % log_interval == 0 or step == total:
+            dt = (time.time() - t0) / max(step - start + 1, 1)
+            logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f (%.0f ms/step)',
+                         step, total, skcfg.stage_at(step), metrics['loss'],
+                         metrics['psnr'], dt * 1e3)
+        if step % eval_interval == 0 or step == total:
+            result = trainer.evaluate()
+            logging.info('eval @%d: PSNR=%.3f SSIM=%.4f', step,
+                         result['PSNR'], result['SSIM'])
+            if result['PSNR'] > best:
+                best = result['PSNR']
+                ckpt.save({'model': trainer.state.model,
+                           'opt': trainer.state.opt_state}, step,
+                          force=True, name='best.npz', manage=False)
+        ckpt.save({'model': trainer.state.model,
+                   'opt': trainer.state.opt_state}, step)
+
+    result = trainer.evaluate()
+    result['best_PSNR'] = best
+    result['train_time_s'] = time.time() - t0
+    with (out_dir / 'results.json').open('w') as f:
+        json.dump(result, f, indent=2)
+    logging.info('done: %s', result)
+    return result
+
+
+if __name__ == '__main__':
+    main()
