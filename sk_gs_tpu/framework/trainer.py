@@ -172,6 +172,82 @@ class SKGSTrainer:
     def _build_step_fn(self, family: str) -> Callable:
         cfg, rcfg = self.cfg, self.rcfg
         update_cache = family == 'sp'
+        with_motion_reg = (family in ('sp', 'init')
+                           and any(self.loss_w.ever_nonzero(n)
+                                   for n in ('elastic', 'acc', 'arap')))
+        with_cnet = (family in ('sp', 'init')
+                     and cfg.use_canonical_net
+                     and self.loss_w.ever_nonzero('c_net'))
+
+        def motion_reg_losses(losses, params, m, t, lw, key):
+            """elastic / acc / arap on superpoint (or sampled point)
+            trajectories (loss_elastic/acc/arap, sk_gs.py:1385-1436)."""
+            from ..models import regularizers as reg
+            from ..models.deform import deform_net_apply
+            sp_pts = jax.lax.stop_gradient(params['sp_points'][..., :3])
+            mask = m.sp_alive
+            k1, k2, k3 = jax.random.split(key, 3)
+            dt = cfg.time_interval
+            tq = t.reshape(())
+
+            def warp_at(ts):
+                def one(tt):
+                    return deform_net_apply(params['sp_deform'], cfg.net,
+                                            sp_pts, tt)['d_xyz'] + sp_pts
+                return jax.vmap(one)(ts)  # [S, M, 3]
+
+            if self.loss_w.ever_nonzero('elastic'):
+                t_samp = jax.random.uniform(k1, (8,)) * dt + tq - 0.5 * dt
+                nodes_t = jnp.transpose(warp_at(t_samp), (1, 0, 2))  # [M,S,3]
+                w_e, idx_e = superpoints.calc_lbs_weight(
+                    sp_pts, sp_pts, mask, 3, 'dist',
+                    hyper=params['sp_hyper'], sp_hyper=params['sp_hyper'])
+                losses['elastic'] = lw['elastic'] * reg.elastic_loss(
+                    nodes_t, idx_e[:, 1:], w_e[:, 1:])
+            if self.loss_w.ever_nonzero('acc'):
+                dt3 = 3.0 * dt
+                ts = jnp.stack([tq - dt3, tq, tq + dt3])
+                nodes3 = jnp.transpose(warp_at(ts), (1, 0, 2))
+                losses['acc'] = lw['acc'] * reg.acc_loss(
+                    nodes3, mask.astype(jnp.float32))
+            if self.loss_w.ever_nonzero('arap'):
+                t_samp = jax.random.uniform(k3, (2,)) * dt + tq - 0.5 * dt
+                nodes_seq = warp_at(t_samp)  # [2, M, 3]
+                nn_idx, w_a, _ = reg.arap_connectivity(nodes_seq[0], mask,
+                                                       k=10)
+                losses['arap'] = lw['arap'] * reg.arap_error(
+                    nodes_seq, nn_idx, w_a)
+            return losses
+
+        def cnet_loss(losses, params, m, t, points_out, lw, stage):
+            """Canonical-net consistency (loss_canonical_net,
+            sk_gs.py:1501-1515)."""
+            tc = m.train_times[cfg.canonical_time_id]
+            if stage in ('init', 'init_fix'):
+                d_c = jax.lax.stop_gradient(sk_gs.init_stage(
+                    cfg, params, params['xyz'], tc).d_xyz)
+                points_c = d_c + params['xyz']
+                d_t = sk_gs.init_stage(cfg, params, points_c, t,
+                                       use_canonical=True).d_xyz
+                points_t = d_t + points_c
+            else:
+                out_c = sk_gs.sp_stage(cfg, params, m.sp_alive,
+                                       params['xyz'], tc)
+                points_c = jax.lax.stop_gradient(out_c.d_xyz) + params['xyz']
+                from ..ops import se3 as se3_ops
+                sp_points_c = jax.lax.stop_gradient(
+                    se3_ops.se3_act(out_c.aux['spT'],
+                                    params['sp_points'][..., :3]))
+                out_t = sk_gs.sp_stage(cfg, params, m.sp_alive, points_c, t,
+                                       use_canonical=True,
+                                       frozen_weights=out_c.aux['knn_w'],
+                                       frozen_knn=out_c.aux['knn_i'],
+                                       sp_points=sp_points_c)
+                points_t = out_t.d_xyz + points_c
+            losses['c_net'] = lw['c_net'] * jnp.mean(
+                jnp.square(points_t - jax.lax.stop_gradient(points_out))
+                * m.alive[:, None])
+            return losses
 
         @partial(jax.jit, static_argnames=('stage',))
         def train_step(model: SKGSModel, opt_state, view: ViewParams,
@@ -260,6 +336,13 @@ class SKGSTrainer:
                     losses['cmp_s'] = lw['cmp_s'] * jnp.mean(
                         jnp.square(out_def.d_scaling - sp_scale_b))
 
+                if with_motion_reg:
+                    losses = motion_reg_losses(losses, params, m, t, lw,
+                                               k_other)
+                if with_cnet:
+                    losses = cnet_loss(losses, params, m, t,
+                                       p['xyz'] + out_def.d_xyz, lw, stage)
+
                 total = sum(losses.values())
                 aux['losses'] = losses
                 aux['psnr'] = psnr(img, image)
@@ -328,6 +411,13 @@ class SKGSTrainer:
                 cfg, st.model, st.opt_state, self.pcd[0], self.pcd[1])
             st.reinit_done = True
             log.info('step %d: gaussians re-initialized from pcd', step)
+        # canonical-net replacement (hook_before_train_step,
+        # sk_gs.py:1865-1876): move points/superpoints to the canonical
+        # frame and swap sp_deform <- canonical weights
+        if (cfg.use_canonical_net and 'canonical' in st.model.params
+                and step > stages['sp_fix'][0]
+                and step in cfg.canonical_replace_steps):
+            self._canonical_replace()
         # skeleton init lazily at first sk-family step
         stage = cfg.stage_at(step)
         if stage in ('sk_init', 'sk_fix', 'sk') and not st.skeleton_initialized:
@@ -338,6 +428,25 @@ class SKGSTrainer:
                 distill_steps=min(cfg.joint_init_steps, 2000))
             st.skeleton_initialized = True
             log.info('step %d: skeleton initialized', step)
+
+    def _canonical_replace(self):
+        import jax.numpy as jnp
+        from ..models import sk_gs as skm
+        from ..ops import se3 as se3_ops
+        st = self.state
+        cfg = self.cfg
+        params = st.model.params
+        tc = st.model.train_times[cfg.canonical_time_id]
+        out_c = skm.sp_stage(cfg, params, st.model.sp_alive, params['xyz'], tc)
+        new_params = dict(params)
+        new_params['xyz'] = jax.lax.stop_gradient(
+            params['xyz'] + out_c.d_xyz)
+        new_params['sp_points'] = jax.lax.stop_gradient(se3_ops.se3_act(
+            out_c.aux['spT'], params['sp_points'][..., :3]))
+        new_params['sp_deform'] = jax.tree.map(lambda x: x,
+                                               params['canonical'])
+        st.model = st.model._replace(params=new_params)
+        log.info('canonical net replacement applied at step %d', st.step + 1)
 
     def maybe_adaptive_control(self, step: int):
         """Densify/prune/superpoint adjust on intervals (adaptive_control,
@@ -449,7 +558,7 @@ class SKGSTrainer:
         lw = {name: jnp.asarray(self.loss_w.w(name), jnp.float32)
               for name in ('image', 'ssim', 'sparse', 'smooth', 'joint',
                            'joint_all', 'c_net', 'cmp_p', 'cmp_t', 'cmp_r',
-                           'cmp_s')}
+                           'cmp_s', 'elastic', 'acc', 'arap')}
         noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
         fn = self._get_step_fn(stage)
         st.model, st.opt_state, metrics = fn(

@@ -50,6 +50,13 @@ class LossWeights:
     def cfg(self, name: str) -> dict:
         return self.entries.get(name, {}).get('cfg', {})
 
+    def ever_nonzero(self, name: str) -> bool:
+        """True if this loss can ever have weight > 0 (graph inclusion)."""
+        if name not in self.entries:
+            return self.default > 0
+        e = self.entries[name]
+        return e['lambda'] > 0 or any(v > 0 for v in e['values'])
+
     def w(self, name: str) -> float:
         if name not in self.entries:
             return self.default

@@ -55,7 +55,8 @@ def skeleton_fk(local_T: jnp.ndarray, global_T: Optional[jnp.ndarray],
 # ---------------------------------------------------------------- MST (host)
 
 def joint_discovery_host(cost: np.ndarray, alive: np.ndarray,
-                         max_levels: int = MAX_LEVELS
+                         max_levels: int = MAX_LEVELS,
+                         use_native: bool = True
                          ) -> Tuple[np.ndarray, np.ndarray, int]:
     """MST over the alive sub-block of the cost matrix; returns
     (parents [M, max_levels], depth [M], root).
@@ -64,7 +65,17 @@ def joint_discovery_host(cost: np.ndarray, alive: np.ndarray,
     between distinct components (joint_discovery, sk_gs.py:106-131), then
     re-root at the node that minimizes depth via leaf peeling (find_root,
     :50-103). Dead joints get parent=root, depth 0.
+
+    Prefers the native C++ implementation (sk_gs_tpu/native) and falls back
+    to this numpy version — the same dual-path pattern as the reference's
+    try_use_C_extension.
     """
+    if use_native:
+        from ..native import joint_discovery_native
+        out = joint_discovery_native(np.asarray(cost), np.asarray(alive),
+                                     max_levels)
+        if out is not None:
+            return out
     m = cost.shape[0]
     alive_idx = np.flatnonzero(alive)
     parents = np.full((m, max_levels), 0, dtype=np.int32)

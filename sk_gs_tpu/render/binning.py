@@ -32,6 +32,8 @@ class BinnedSplats(NamedTuple):
     gauss_index: jnp.ndarray    # [K_pad] int32 index into (N+1)-padded arrays
     chunk_tile: jnp.ndarray     # [num_chunks] int32 tile id per kernel chunk
     chunk_start_flag: jnp.ndarray  # [num_chunks] int32 1 where a tile's first chunk
+    tile_nonempty: jnp.ndarray  # [T] bool: tile has >= 1 splat (kernel output
+    #                             blocks of empty tiles are garbage -> masked)
     num_pairs: jnp.ndarray      # [] int32 pairs emitted (pre-clip)
     overflow: jnp.ndarray       # [] bool: pair_capacity exceeded (pairs dropped)
 
@@ -84,7 +86,9 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
 
     # 4. per-tile counts and chunk-padded layout
     counts = jnp.bincount(tile_sorted, length=T + 1)[:T]
-    padded_counts = jnp.where(counts > 0, ((counts + C - 1) // C) * C, C)
+    # empty tiles get NO chunks (their never-visited output blocks are
+    # masked by tile_nonempty downstream) — saves one grid step per empty tile
+    padded_counts = ((counts + C - 1) // C) * C
     padded_offsets = jnp.concatenate(
         [jnp.zeros((1,), padded_counts.dtype), jnp.cumsum(padded_counts)])  # [T+1]
     starts = jnp.concatenate(
@@ -112,6 +116,7 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
         gauss_index=gauss_index,
         chunk_tile=chunk_tile,
         chunk_start_flag=chunk_start_flag,
+        tile_nonempty=counts > 0,
         num_pairs=total,
         overflow=total > K,
     )

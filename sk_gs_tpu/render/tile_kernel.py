@@ -45,24 +45,26 @@ P = TILE * TILE  # pixels per tile
 INTERPRET = False
 
 
-def _cumulative_sublanes(x: jnp.ndarray, op, identity: float) -> jnp.ndarray:
-    """Inclusive prefix scan along axis 0 (sublanes) via Hillis-Steele."""
-    c = x.shape[0]
-    shift = 1
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    while shift < c:
-        rolled = pltpu.roll(x, shift, axis=0)
-        x = op(x, jnp.where(rows >= shift, rolled, identity))
-        shift *= 2
-    return x
-
-
-def _cumprod_sublanes(x):
-    return _cumulative_sublanes(x, jnp.multiply, 1.0)
+def _tri_ones(c: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Lower-triangular (inclusive) ones matrix [C, C]: L[i, j] = j <= i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (col <= r).astype(dtype)
 
 
 def _cumsum_sublanes(x):
-    return _cumulative_sublanes(x, jnp.add, 0.0)
+    """Inclusive prefix sum along axis 0 as a triangular matmul (MXU).
+
+    Sublane-axis scans via shifted selects are VPU-hostile on TPU; one
+    [C,C]x[C,P] matmul on the MXU is ~free at C=256."""
+    return jnp.dot(_tri_ones(x.shape[0], x.dtype), x,
+                   preferred_element_type=jnp.float32)
+
+
+def _cumprod_sublanes(x):
+    """Inclusive prefix product along axis 0 in log space (x > 0 required;
+    here x = 1 - alpha >= 0.01 by the 0.99 alpha clamp)."""
+    return jnp.exp(_cumsum_sublanes(jnp.log(x)))
 
 
 def _pixel_coords(tile, grid_w):
@@ -244,7 +246,8 @@ def blend_chunks_pallas(binned: BinnedSplats, xys, conic, opa, col,
                         cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tile_color [T, P, ch], tile_alpha [T, P]) like blend_xla."""
     return _blend_custom(binned.gauss_index, binned.chunk_tile,
-                         binned.chunk_start_flag, xys, conic, opa, col, cfg)
+                         binned.chunk_start_flag, binned.tile_nonempty,
+                         xys, conic, opa, col, cfg)
 
 
 def _build_feat(gauss_index, xys, conic, opa, col):
@@ -256,20 +259,24 @@ def _build_feat(gauss_index, xys, conic, opa, col):
     return feat[gauss_index]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _blend_custom(gauss_index, chunk_tile, chunk_start, xys, conic, opa, col,
-                  cfg: RasterConfig):
-    out, _ = _blend_fwd(gauss_index, chunk_tile, chunk_start, xys, conic,
-                        opa, col, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _blend_custom(gauss_index, chunk_tile, chunk_start, tile_nonempty, xys,
+                  conic, opa, col, cfg: RasterConfig):
+    out, _ = _blend_fwd(gauss_index, chunk_tile, chunk_start, tile_nonempty,
+                        xys, conic, opa, col, cfg)
     return out
 
 
-def _blend_fwd(gauss_index, chunk_tile, chunk_start, xys, conic, opa, col,
-               cfg: RasterConfig):
+def _blend_fwd(gauss_index, chunk_tile, chunk_start, tile_nonempty, xys,
+               conic, opa, col, cfg: RasterConfig):
     ch = col.shape[-1]
     assert ch <= NUM_FEAT - 6, f"too many color channels: {ch}"
     feat_g = _build_feat(gauss_index, xys, conic, opa, col)
     color, alpha = _pallas_forward(feat_g, chunk_tile, chunk_start, cfg, ch)
+    # empty tiles were never visited -> mask their garbage blocks
+    ne = tile_nonempty[:, None, None]
+    color = jnp.where(ne, color, 0.0)
+    alpha = jnp.where(ne, alpha, 0.0)
     # public layout: (T, P, ch) to match blend_xla
     out = (color.transpose(0, 2, 1), alpha[:, 0, :])
     residuals = (gauss_index, chunk_tile, chunk_start, feat_g, color, alpha,
@@ -293,8 +300,9 @@ def _blend_bwd(cfg, residuals, cotangents):
     g_opa = gsum[:, 5]
     g_col = gsum[:, 6:6 + ch]
     zero_int = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zero_ne = np.zeros((color.shape[0],), dtype=jax.dtypes.float0)
     return (zero_int(gauss_index), zero_int(chunk_tile), zero_int(chunk_start),
-            g_xys, g_conic, g_opa, g_col)
+            zero_ne, g_xys, g_conic, g_opa, g_col)
 
 
 _blend_custom.defvjp(_blend_fwd, _blend_bwd)
