@@ -66,12 +66,18 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
 
     incl = jnp.cumsum(touched_s)
     total = incl[-1]
-    excl = incl - touched_s
+    excl = (incl - touched_s).astype(jnp.int32)
 
-    # 2. expand: slot k -> (sorted-gaussian gs, local tile offset)
+    # 2. expand: slot k -> (sorted-gaussian gs, local tile offset).
+    #    Implemented as scatter-max + cummax instead of searchsorted: each
+    #    touching Gaussian stamps its index at its first slot, cummax fills
+    #    the segment. (Large-query searchsorted is a serial chain of K-wide
+    #    gathers on TPU — measured 15 ms at K=2^17 vs ~0.1 ms for this.)
     slots = jnp.arange(K, dtype=jnp.int32)
-    gs = jnp.searchsorted(incl, slots, side='right').astype(jnp.int32)
-    gs = jnp.minimum(gs, n - 1)
+    stamp_pos = jnp.where(touched_s > 0, excl, K)  # tiles_touched=0 -> drop
+    seg = jnp.zeros((K,), jnp.int32).at[stamp_pos].max(
+        jnp.arange(n, dtype=jnp.int32) + 1, mode='drop')
+    gs = jnp.maximum(jax.lax.cummax(seg) - 1, 0)
     local = slots - excl[gs]
     valid = slots < total
 
@@ -81,34 +87,38 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     tile_id = jnp.where(valid, ty * cfg.grid_w + tx, T).astype(jnp.int32)
 
     # 3. stable sort by tile id (depth order preserved within tile)
-    tile_sorted, gs_sorted, valid_sorted = jax.lax.sort(
-        (tile_id, gs, valid.astype(jnp.int32)), num_keys=1, is_stable=True)
+    tile_sorted, gs_sorted = jax.lax.sort(
+        (tile_id, gs), num_keys=1, is_stable=True)
 
-    # 4. per-tile counts and chunk-padded layout
-    counts = jnp.bincount(tile_sorted, length=T + 1)[:T]
+    # 4. per-tile counts / starts via binary search over the sorted tile ids
+    #    (scatter-free: TPU scatters serialize, gathers ride the VPU)
+    tt = jnp.arange(T + 1, dtype=jnp.int32)
+    starts_all = jnp.searchsorted(tile_sorted, tt, side='left').astype(jnp.int32)
+    counts = starts_all[1:] - starts_all[:-1]  # [T] (sentinel T excluded)
     # empty tiles get NO chunks (their never-visited output blocks are
     # masked by tile_nonempty downstream) — saves one grid step per empty tile
     padded_counts = ((counts + C - 1) // C) * C
     padded_offsets = jnp.concatenate(
-        [jnp.zeros((1,), padded_counts.dtype), jnp.cumsum(padded_counts)])  # [T+1]
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])  # [T+1]
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)])  # [T+1]
 
+    # 5a. gather-based padded splat list: slot q -> (tile tq, rank r) ->
+    #     source position in the tile-sorted order, dummy (row n) past counts
     K_pad = padded_capacity(cfg)
-    j = jnp.arange(K, dtype=jnp.int32)
-    rank = j - starts[tile_sorted].astype(jnp.int32)
-    pos = padded_offsets[jnp.minimum(tile_sorted, T - 1)].astype(jnp.int32) + rank
-    pos = jnp.where(valid_sorted.astype(bool), pos, K_pad)  # dropped
-
-    gauss_index = jnp.full((K_pad,), n, dtype=jnp.int32)  # n == dummy row
-    # map back to ORIGINAL gaussian ids for attribute gathers
+    q = jnp.arange(K_pad, dtype=jnp.int32)
+    # tile-of-slot via the same stamp+cummax trick (offsets are sorted;
+    # colliding stamps of empty tiles resolve to the later tile via max)
+    tq_stamp = jnp.zeros((K_pad,), jnp.int32).at[padded_offsets[:-1]].max(
+        jnp.arange(T, dtype=jnp.int32), mode='drop')
+    tq = jax.lax.cummax(tq_stamp)
+    r = q - padded_offsets[tq]
+    src = starts_all[tq] + r
+    ok = r < counts[tq]
     orig_idx = order.astype(jnp.int32)[gs_sorted]
-    gauss_index = gauss_index.at[pos].set(orig_idx, mode='drop')
+    gauss_index = jnp.where(ok, orig_idx[jnp.clip(src, 0, K - 1)], n)
 
-    # 5. chunk -> tile map (non-decreasing; trailing chunks land on last tile)
-    c_starts = jnp.arange(num_chunks(cfg), dtype=padded_offsets.dtype) * C
-    chunk_tile = jnp.searchsorted(padded_offsets[1:], c_starts, side='right')
-    chunk_tile = jnp.minimum(chunk_tile, T - 1).astype(jnp.int32)
+    # 5b. chunk -> tile map = tile-of-slot at each chunk start (strided view
+    #     of tq, since chunk starts are slot multiples of C)
+    chunk_tile = tq[::C]
     first_chunk_of_tile = padded_offsets[chunk_tile] // C
     chunk_start_flag = (jnp.arange(num_chunks(cfg)) == first_chunk_of_tile).astype(jnp.int32)
 
