@@ -20,12 +20,12 @@ from ..ops import transforms as tf
 from .base import Scene, SceneMeta, build_scene
 
 
-def load_image(path: Path, downscale: int = 1) -> np.ndarray:
+def load_image(path: Path, downscale: float = 1) -> np.ndarray:
     from PIL import Image
     img = Image.open(path)
     if downscale and downscale > 1:
-        img = img.resize((img.width // downscale, img.height // downscale),
-                         Image.BILINEAR)
+        img = img.resize((round(img.width / downscale),
+                          round(img.height / downscale)), Image.BILINEAR)
     arr = np.asarray(img).astype(np.float32) / 255.0
     return arr
 

@@ -29,9 +29,12 @@ from .settings import RasterConfig
 
 
 class BinnedSplats(NamedTuple):
-    gauss_index: jnp.ndarray    # [K_pad] int32 index into (N+1)-padded arrays
+    sort_gauss: jnp.ndarray     # [K + C] int32 gaussian id per tile-sorted
+    #                             entry (dummy row n past num_pairs)
     chunk_tile: jnp.ndarray     # [num_chunks] int32 tile id per kernel chunk
     chunk_start_flag: jnp.ndarray  # [num_chunks] int32 1 where a tile's first chunk
+    chunk_src: jnp.ndarray      # [num_chunks] int32 start row in sort order
+    chunk_valid: jnp.ndarray    # [num_chunks] int32 valid entries (<= C)
     tile_nonempty: jnp.ndarray  # [T] bool: tile has >= 1 splat (kernel output
     #                             blocks of empty tiles are garbage -> masked)
     num_pairs: jnp.ndarray      # [] int32 pairs emitted (pre-clip)
@@ -39,7 +42,7 @@ class BinnedSplats(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.gauss_index.shape[0]
+        return self.sort_gauss.shape[0]
 
 
 def padded_capacity(cfg: RasterConfig) -> int:
@@ -101,31 +104,37 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     padded_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)])  # [T+1]
 
-    # 5a. gather-based padded splat list: slot q -> (tile tq, rank r) ->
-    #     source position in the tile-sorted order, dummy (row n) past counts
-    K_pad = padded_capacity(cfg)
-    q = jnp.arange(K_pad, dtype=jnp.int32)
-    # tile-of-slot via the same stamp+cummax trick (offsets are sorted;
-    # colliding stamps of empty tiles resolve to the later tile via max)
-    tq_stamp = jnp.zeros((K_pad,), jnp.int32).at[padded_offsets[:-1]].max(
+    # 5. per-chunk metadata (chunk starts = padded slot multiples of C):
+    #    tile-of-chunk via stamp+cummax at padded_offsets/C; the kernel
+    #    streams entries [chunk_src, chunk_src+C) straight from the
+    #    tile-sorted order (contiguous), masking past chunk_valid
+    nc = num_chunks(cfg)
+    ct_stamp = jnp.zeros((nc,), jnp.int32).at[padded_offsets[:-1] // C].max(
         jnp.arange(T, dtype=jnp.int32), mode='drop')
-    tq = jax.lax.cummax(tq_stamp)
-    r = q - padded_offsets[tq]
-    src = starts_all[tq] + r
-    ok = r < counts[tq]
-    orig_idx = order.astype(jnp.int32)[gs_sorted]
-    gauss_index = jnp.where(ok, orig_idx[jnp.clip(src, 0, K - 1)], n)
-
-    # 5b. chunk -> tile map = tile-of-slot at each chunk start (strided view
-    #     of tq, since chunk starts are slot multiples of C)
-    chunk_tile = tq[::C]
+    chunk_tile = jax.lax.cummax(ct_stamp)
     first_chunk_of_tile = padded_offsets[chunk_tile] // C
-    chunk_start_flag = (jnp.arange(num_chunks(cfg)) == first_chunk_of_tile).astype(jnp.int32)
+    cidx = jnp.arange(nc, dtype=jnp.int32)
+    chunk_start_flag = (cidx == first_chunk_of_tile).astype(jnp.int32)
+    local_off = (cidx - first_chunk_of_tile) * C
+    # trailing chunks (past the last segment) clamp to a safe window with
+    # zero valid entries
+    chunk_src = jnp.clip(starts_all[chunk_tile] + local_off, 0, K)
+    chunk_valid = jnp.clip(counts[chunk_tile] - local_off, 0, C)
+
+    # tile-sorted gaussian ids + C overrun rows; entries past ``total``
+    # route to the dummy row n (their DMA'd features are masked in-kernel,
+    # and masking here keeps any unwritten grad rows off real gaussians)
+    orig_idx = order.astype(jnp.int32)[gs_sorted]
+    sort_gauss = jnp.where(jnp.arange(K) < total, orig_idx, n)
+    sort_gauss = jnp.concatenate(
+        [sort_gauss, jnp.full((C,), n, jnp.int32)])
 
     return BinnedSplats(
-        gauss_index=gauss_index,
+        sort_gauss=sort_gauss,
         chunk_tile=chunk_tile,
         chunk_start_flag=chunk_start_flag,
+        chunk_src=chunk_src,
+        chunk_valid=chunk_valid,
         tile_nonempty=counts > 0,
         num_pairs=total,
         overflow=total > K,

@@ -63,32 +63,40 @@ def blend_chunks_scan(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray
     """Scan over chunks; returns (tile_color [T, P, CH], tile_alpha [T, P]).
 
     Inputs are the (N+1)-row padded per-Gaussian attributes; gathering by
-    ``binned.gauss_index`` happens inside so its VJP (scatter-add) routes
-    chunk gradients back to Gaussians automatically.
+    ``binned.sort_gauss`` + per-chunk dynamic slices happens inside so the
+    VJP (scatter-add) routes chunk gradients back to Gaussians automatically.
     """
     C = cfg.chunk
     P = TILE * TILE
     CH = col.shape[-1]
     n_chunks = binned.chunk_tile.shape[0]
 
-    gi = binned.gauss_index.reshape(n_chunks, C)
+    gi_sorted = binned.sort_gauss
     px_all, py_all = _tile_pixel_coords(binned.chunk_tile, cfg)
 
     def step(T_run, inp):
-        gi_c, start, px, py = inp
+        src, n_valid, start, px, py = inp
+        gi_c = jax.lax.dynamic_slice(gi_sorted, (src,), (C,))
         T_run = jnp.where(start > 0, jnp.ones_like(T_run), T_run)
         alpha = chunk_alpha(xys[gi_c], conic[gi_c], opa[gi_c], px, py)  # [C, P]
+        alpha = jnp.where(
+            jnp.arange(C)[:, None] < n_valid, alpha, 0.0)
         om = 1.0 - alpha
         P_incl = T_run[None, :] * jnp.cumprod(om, axis=0)
         contrib = P_incl >= T_EPS
         w = jnp.where(contrib, alpha * P_incl / om, 0.0)            # [C, P]
-        color = jnp.einsum('cp,cd->pd', w, col[gi_c])               # [P, CH]
+        # HIGHEST precision: the default TPU matmul runs bf16 passes on the
+        # MXU (~2e-3 color error, measured vs the Pallas kernel)
+        color = jnp.einsum('cp,cd->pd', w, col[gi_c],
+                           precision=jax.lax.Precision.HIGHEST)  # [P, CH]
         T_new = T_run * jnp.prod(jnp.where(contrib, om, 1.0), axis=0)
         return T_new, (color, T_new)
 
     T0 = jnp.ones((P,), dtype=jnp.float32)
     _, (colors, T_ends) = jax.lax.scan(
-        step, T0, (gi, binned.chunk_start_flag, px_all, py_all))
+        step, T0,
+        (binned.chunk_src, binned.chunk_valid, binned.chunk_start_flag,
+         px_all, py_all))
 
     T_tiles = cfg.num_tiles
     tile_color = jax.ops.segment_sum(colors, binned.chunk_tile, num_segments=T_tiles)

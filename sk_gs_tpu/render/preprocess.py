@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import quaternion as quat
@@ -43,7 +44,8 @@ def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     """[N,3] scales + [N,4] quats -> [N, 3, 3] world covariance R S^2 R^T."""
     R = quat.to_matrix(rotations, pre_normalize=True)
     s2 = jnp.square(scales * scale_modifier)
-    return jnp.einsum('nij,nj,nkj->nik', R, s2, R)
+    return jnp.einsum('nij,nj,nkj->nik', R, s2, R,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def project_points(means3d: jnp.ndarray, view: ViewParams):
@@ -82,8 +84,9 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, view: ViewParams,
         jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
     ], axis=-2)  # [N, 2, 3]
     W = view.Tw2v[:3, :3]  # world->view rotation
-    A = jnp.einsum('nij,jk->nik', J, W)          # [N, 2, 3]
-    cov = jnp.einsum('nij,njk,nlk->nil', A, cov3d, A)  # [N, 2, 2]
+    hp = jax.lax.Precision.HIGHEST  # bf16 MXU passes distort covariances
+    A = jnp.einsum('nij,jk->nik', J, W, precision=hp)          # [N, 2, 3]
+    cov = jnp.einsum('nij,njk,nlk->nil', A, cov3d, A, precision=hp)  # [N, 2, 2]
     cxx = cov[:, 0, 0] + 0.3
     cyy = cov[:, 1, 1] + 0.3
     cxy = cov[:, 0, 1]

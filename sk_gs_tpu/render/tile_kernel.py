@@ -4,22 +4,27 @@ The production equivalent of ``renderCUDA_forward`` / ``renderCUDA_backward``
 (/root/reference/my_ext/_C/src/nerf/gaussian_render.cu:17-112, :183-341),
 re-designed for the TPU execution model:
 
-- grid = one program per 256-splat chunk of the padded, tile-sorted splat
-  list (binning.py); consecutive chunks of a tile hit the same output block,
-  which stays resident in VMEM (flash-attention-style revisiting);
-- within a chunk the front-to-back walk is a Hillis-Steele cumulative
-  product over sublanes; transmittance carries across chunks in scratch;
-- layout: splat entries on sublanes (C=chunk), tile pixels on lanes (P=256);
-  per-entry feature broadcasts are (C,1) x (C,P), per-pixel ones (1,P);
-- the backward re-walks front-to-back (no atomics): per-entry gradients are
-  lane-reductions written per-chunk, then segment-summed back to Gaussians
-  outside the kernel (the CUDA kernel's atomicAdd equivalent);
-- instead of the CUDA n_contrib residual, the backward recomputes the
-  transmittance and uses suffix color S_i = C_final - C_incl_i.
+- grid = one program per C-splat chunk of the (conceptually padded)
+  tile-sorted splat list; consecutive chunks of a tile hit the same output
+  block, which stays resident in VMEM (flash-attention-style revisiting);
+- the splat features live UNPADDED in HBM in tile-sorted order; each
+  chunk's entries are CONTIGUOUS there, so the kernel streams them with
+  manually double-buffered DMA (per-chunk start offset from scalar
+  prefetch). This avoids materializing a padded gather — XLA random gathers
+  cost ~10 ns/element on TPU, contiguous DMA is ~free;
+- entries past the chunk's valid count are masked (alpha 0); the analogous
+  backward store tail overlaps the next tile's first rows, but grid steps
+  execute in order so the next tile's own (later, correct) store wins;
+- within a chunk the front-to-back walk uses log-space triangular-matmul
+  prefix products on the MXU; transmittance carries across chunks in
+  scratch; the backward re-walks front-to-back using the suffix color
+  S_i = C_final - C_incl_i and DMAs per-entry grads out per chunk
+  (segment-summed back to Gaussians outside — the atomicAdd equivalent).
 
+Layout: splat entries on sublanes (C), tile pixels on lanes (P = 256).
 Gradient conventions match the CUDA backward: the 0.99 alpha clamp is
-treated as identity (gaussian_render.cu:245-333), skip/termination decisions
-are constants.
+treated as identity (gaussian_render.cu:245-333), skip/termination
+decisions are constants.
 """
 from __future__ import annotations
 
@@ -38,7 +43,10 @@ from .settings import TILE, RasterConfig
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-NUM_FEAT = 16  # x, y, conic a/b/c, opacity, colors... (zero padded)
+# feature row width: x, y, conic a/b/c, opacity, colors..., zero padded to a
+# full 128-lane tile — Mosaic requires dynamic-offset DMA slices to be
+# lane-aligned, and the 8x bandwidth overhead is ~0.2 us per chunk
+NUM_FEAT = 128
 P = TILE * TILE  # pixels per tile
 
 # set True to run kernels in the Pallas interpreter (CPU testing)
@@ -58,13 +66,24 @@ def _cumsum_sublanes(x):
     Sublane-axis scans via shifted selects are VPU-hostile on TPU; one
     [C,C]x[C,P] matmul on the MXU is ~free at C=256."""
     return jnp.dot(_tri_ones(x.shape[0], x.dtype), x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _cumprod_sublanes(x):
-    """Inclusive prefix product along axis 0 in log space (x > 0 required;
-    here x = 1 - alpha >= 0.01 by the 0.99 alpha clamp)."""
-    return jnp.exp(_cumsum_sublanes(jnp.log(x)))
+    """Inclusive prefix product along axis 0 via Hillis-Steele doubling.
+
+    NOT the log-space matmul: TPU exp/log carry ~1e-4 relative error that
+    compounds to ~5% over 256-term products (measured), while shifted
+    multiplies are exact."""
+    c = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x * jnp.where(rows >= shift, rolled, 1.0)
+        shift *= 2
+    return x
 
 
 def _pixel_coords(tile, grid_w):
@@ -77,7 +96,7 @@ def _pixel_coords(tile, grid_w):
     return tx * TILE + lx, ty * TILE + ly
 
 
-def _chunk_alpha(feat, px, py):
+def _chunk_alpha(feat, px, py, n_valid):
     """Per-chunk alpha matrix (C, P) + intermediates for backward."""
     x = feat[:, 0:1]
     y = feat[:, 1:2]
@@ -91,16 +110,45 @@ def _chunk_alpha(feat, px, py):
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = o * g
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    row = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (row < n_valid)
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, alpha_raw, g, dx, dy, keep
 
 
-def _fwd_kernel(ct_ref, cs_ref, feat_ref, color_ref, alpha_ref, t_run,
-                *, grid_w: int, ch: int):
+def _blend_math(feat, px, py, t_run, n_valid):
+    """Shared fwd/bwd chunk math."""
+    alpha, alpha_raw, g, dx, dy, keep = _chunk_alpha(feat, px, py, n_valid)
+    om = 1.0 - alpha
+    p_incl = t_run * _cumprod_sublanes(om)
+    contrib = p_incl >= T_EPS
+    w = jnp.where(contrib, alpha * p_incl / om, 0.0)
+    # T after chunk = p_incl at the last contributing row (monotone)
+    t_new = jnp.min(jnp.where(contrib, p_incl, t_run), axis=0, keepdims=True)
+    return alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w, t_new
+
+
+def _feat_dma(feat_hbm, buf, sem, slot, src):
+    return pltpu.make_async_copy(
+        feat_hbm.at[pl.ds(src, buf.shape[1]), :], buf.at[slot], sem.at[slot])
+
+
+def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
+                alpha_ref, t_run, feat_buf, sems, *, grid_w: int, ch: int):
     i = pl.program_id(0)
+    nc = pl.num_programs(0)
     start = cs_ref[i] == 1
     tile = ct_ref[i]
+
+    @pl.when(i == 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
+
+    @pl.when(i + 1 < nc)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2, sc_ref[i + 1]).start()
+
+    _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
 
     @pl.when(start)
     def _():
@@ -110,42 +158,53 @@ def _fwd_kernel(ct_ref, cs_ref, feat_ref, color_ref, alpha_ref, t_run,
 
     @pl.when(start | (jnp.max(t_run[:]) >= T_EPS))
     def _():
-        feat = feat_ref[:]
+        feat = feat_buf[i % 2]
         px, py = _pixel_coords(tile, grid_w)
-        alpha, _, _, _, _, _ = _chunk_alpha(feat, px, py)
-        om = 1.0 - alpha
-        p_incl = t_run[:] * _cumprod_sublanes(om)
-        contrib = p_incl >= T_EPS
-        w = jnp.where(contrib, alpha * p_incl / om, 0.0)          # (C, P)
+        (alpha, _, _, _, _, _, om, p_incl, contrib, w,
+         t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
         for k in range(ch):
             col_k = feat[:, 6 + k:7 + k]
             color_ref[0, k, :] += jnp.sum(w * col_k, axis=0)
-        # T after chunk = p_incl at the last contributing row (monotone);
-        # jnp.prod is not lowerable on TPU Pallas, min over masked rows is
-        t_new = jnp.min(jnp.where(contrib, p_incl, t_run[:]), axis=0,
-                        keepdims=True)
         t_run[:] = t_new
         alpha_ref[0, 0, :] = (1.0 - t_new)[0]
 
 
-def _bwd_kernel(ct_ref, cs_ref, feat_ref, gcolor_ref, galpha_ref, cf_ref,
-                af_ref, gfeat_ref, t_run, c_run, *, grid_w: int, ch: int):
+def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
+                galpha_ref, cf_ref, af_ref, gfeat_hbm, t_run, c_run,
+                feat_buf, gfeat_buf, sems, osems, *, grid_w: int, ch: int):
     i = pl.program_id(0)
+    nc = pl.num_programs(0)
     start = cs_ref[i] == 1
     tile = ct_ref[i]
+    C = feat_buf.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
+
+    @pl.when(i + 1 < nc)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2, sc_ref[i + 1]).start()
+
+    _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
+
+    # the store issued two steps ago into this slot must have drained
+    @pl.when(i >= 2)
+    def _():
+        pltpu.make_async_copy(
+            gfeat_buf.at[i % 2],
+            gfeat_hbm.at[pl.ds(sc_ref[i - 2], C), :],
+            osems.at[i % 2]).wait()
 
     @pl.when(start)
     def _():
         t_run[:] = jnp.ones_like(t_run)
         c_run[:] = jnp.zeros_like(c_run)
 
-    feat = feat_ref[:]
+    feat = feat_buf[i % 2]
     px, py = _pixel_coords(tile, grid_w)
-    alpha, alpha_raw, g, dx, dy, keep = _chunk_alpha(feat, px, py)
-    om = 1.0 - alpha
-    p_incl = t_run[:] * _cumprod_sublanes(om)
-    contrib = p_incl >= T_EPS
-    w = jnp.where(contrib, alpha * p_incl / om, 0.0)
+    (alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w,
+     t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
     t_excl = p_incl / om
 
     tf = 1.0 - af_ref[0, 0:1, :]                                   # (1, P)
@@ -176,29 +235,52 @@ def _bwd_kernel(ct_ref, cs_ref, feat_ref, gcolor_ref, galpha_ref, cf_ref,
     gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
     go = jnp.sum(g * g_alpha_e, axis=1, keepdims=True)
 
-    cchunk = feat.shape[0]
-    pad = jnp.zeros((cchunk, NUM_FEAT - 6 - ch), feat.dtype)
-    gfeat_ref[:] = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad],
-                                   axis=1)
+    pad = jnp.zeros((C, NUM_FEAT - 6 - ch), feat.dtype)
+    grads = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad], axis=1)
+    # zero the overlap tail: rows past n_valid belong to the NEXT tile's
+    # segment; its own later chunks re-write them with correct values
+    row = jax.lax.broadcasted_iota(jnp.int32, grads.shape, 0)
+    gfeat_buf[i % 2] = jnp.where(row < sv_ref[i], grads, 0.0)
+    pltpu.make_async_copy(
+        gfeat_buf.at[i % 2],
+        gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
+        osems.at[i % 2]).start()
 
-    t_run[:] = jnp.min(jnp.where(contrib, p_incl, t_run[:]), axis=0,
-                       keepdims=True)
+    t_run[:] = t_new
+
+    # drain outstanding stores at the end of the grid
+    @pl.when(i == nc - 1)
+    def _():
+        pltpu.make_async_copy(gfeat_buf.at[i % 2],
+                              gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
+                              osems.at[i % 2]).wait()
+
+    @pl.when((i == nc - 1) & (nc >= 2))
+    def _():
+        pltpu.make_async_copy(
+            gfeat_buf.at[(i - 1) % 2],
+            gfeat_hbm.at[pl.ds(sc_ref[i - 1], C), :],
+            osems.at[(i - 1) % 2]).wait()
 
 
-def _pallas_forward(feat_g, chunk_tile, chunk_start, cfg: RasterConfig, ch: int):
+def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
+                    cfg: RasterConfig, ch: int):
     nc = num_chunks(cfg)
     T = cfg.num_tiles
+    C = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((cfg.chunk, NUM_FEAT), lambda i, ct, cs: (i, 0)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
-            pl.BlockSpec((1, ch, P), lambda i, ct, cs: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, ct, cs: (ct[i], 0, 0)),
+            pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     color, alpha = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_w=cfg.grid_w, ch=ch),
@@ -208,101 +290,115 @@ def _pallas_forward(feat_g, chunk_tile, chunk_start, cfg: RasterConfig, ch: int)
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(chunk_tile, chunk_start, feat_g)
+    )(chunk_tile, chunk_start, chunk_valid, chunk_src, feat_s)
     return color, alpha
 
 
-def _pallas_backward(feat_g, chunk_tile, chunk_start, color, alpha,
-                     g_color, g_alpha, cfg: RasterConfig, ch: int):
+def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
+                     color, alpha, g_color, g_alpha, cfg: RasterConfig,
+                     ch: int):
     nc = num_chunks(cfg)
+    C = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((cfg.chunk, NUM_FEAT), lambda i, ct, cs: (i, 0)),
-            pl.BlockSpec((1, ch, P), lambda i, ct, cs: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, ct, cs: (ct[i], 0, 0)),
-            pl.BlockSpec((1, ch, P), lambda i, ct, cs: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, ct, cs: (ct[i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
+            pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((cfg.chunk, NUM_FEAT), lambda i, ct, cs: (i, 0)),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((ch, P), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (gfeat,) = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=cfg.grid_w, ch=ch),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(feat_g.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(feat_s.shape, jnp.float32)],
         interpret=INTERPRET,
-    )(chunk_tile, chunk_start, feat_g, g_color, g_alpha, color, alpha)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(chunk_tile, chunk_start, chunk_valid, chunk_src, feat_s,
+      g_color, g_alpha, color, alpha)
     return gfeat
 
 
 def blend_chunks_pallas(binned: BinnedSplats, xys, conic, opa, col,
                         cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tile_color [T, P, ch], tile_alpha [T, P]) like blend_xla."""
-    return _blend_custom(binned.gauss_index, binned.chunk_tile,
-                         binned.chunk_start_flag, binned.tile_nonempty,
+    return _blend_custom(binned.sort_gauss, binned.chunk_tile,
+                         binned.chunk_start_flag, binned.chunk_valid,
+                         binned.chunk_src, binned.tile_nonempty,
                          xys, conic, opa, col, cfg)
 
 
-def _build_feat(gauss_index, xys, conic, opa, col):
+def _build_feat_sorted(sort_gauss, xys, conic, opa, col):
+    """[K_io, NUM_FEAT] tile-sorted splat features (one row gather)."""
     ch = col.shape[-1]
     feat = jnp.concatenate([
         xys, conic, opa[:, None], col,
         jnp.zeros((xys.shape[0], NUM_FEAT - 6 - ch), xys.dtype)
     ], axis=-1)
-    return feat[gauss_index]
+    return feat[sort_gauss]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _blend_custom(gauss_index, chunk_tile, chunk_start, tile_nonempty, xys,
-                  conic, opa, col, cfg: RasterConfig):
-    out, _ = _blend_fwd(gauss_index, chunk_tile, chunk_start, tile_nonempty,
-                        xys, conic, opa, col, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _blend_custom(sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
+                  tile_nonempty, xys, conic, opa, col, cfg: RasterConfig):
+    out, _ = _blend_fwd(sort_gauss, chunk_tile, chunk_start, chunk_valid,
+                        chunk_src, tile_nonempty, xys, conic, opa, col, cfg)
     return out
 
 
-def _blend_fwd(gauss_index, chunk_tile, chunk_start, tile_nonempty, xys,
-               conic, opa, col, cfg: RasterConfig):
+def _blend_fwd(sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
+               tile_nonempty, xys, conic, opa, col, cfg: RasterConfig):
     ch = col.shape[-1]
     assert ch <= NUM_FEAT - 6, f"too many color channels: {ch}"
-    feat_g = _build_feat(gauss_index, xys, conic, opa, col)
-    color, alpha = _pallas_forward(feat_g, chunk_tile, chunk_start, cfg, ch)
+    feat_s = _build_feat_sorted(sort_gauss, xys, conic, opa, col)
+    color, alpha = _pallas_forward(feat_s, chunk_tile, chunk_start,
+                                   chunk_valid, chunk_src, cfg, ch)
     # empty tiles were never visited -> mask their garbage blocks
     ne = tile_nonempty[:, None, None]
     color = jnp.where(ne, color, 0.0)
     alpha = jnp.where(ne, alpha, 0.0)
     # public layout: (T, P, ch) to match blend_xla
     out = (color.transpose(0, 2, 1), alpha[:, 0, :])
-    residuals = (gauss_index, chunk_tile, chunk_start, feat_g, color, alpha,
-                 xys.shape[0])
+    residuals = (sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
+                 feat_s, color, alpha, xys.shape[0])
     return out, residuals
 
 
 def _blend_bwd(cfg, residuals, cotangents):
-    gauss_index, chunk_tile, chunk_start, feat_g, color, alpha, n_rows = residuals
+    (sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src, feat_s,
+     color, alpha, n_rows) = residuals
     g_tile_color, g_tile_alpha = cotangents
     ch = color.shape[1]
     g_color = g_tile_color.transpose(0, 2, 1)  # (T, ch, P)
     g_alpha = g_tile_alpha[:, None, :]         # (T, 1, P)
-    gfeat = _pallas_backward(feat_g, chunk_tile, chunk_start,
-                             color, alpha, g_color, g_alpha, cfg, ch)
+    gfeat = _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid,
+                             chunk_src, color, alpha, g_color, g_alpha,
+                             cfg, ch)
     # scatter-add per-entry grads back to (N+1)-padded rows (the CUDA
-    # atomicAdd equivalent, conflict-free by construction)
-    gsum = jax.ops.segment_sum(gfeat, gauss_index, num_segments=n_rows)
+    # atomicAdd equivalent, conflict-free by construction); only the real
+    # feature columns — the 128-lane padding carries no gradient
+    gsum = jax.ops.segment_sum(gfeat[:, :6 + ch], sort_gauss,
+                               num_segments=n_rows)
     g_xys = gsum[:, 0:2]
     g_conic = gsum[:, 2:5]
     g_opa = gsum[:, 5]
     g_col = gsum[:, 6:6 + ch]
     zero_int = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     zero_ne = np.zeros((color.shape[0],), dtype=jax.dtypes.float0)
-    return (zero_int(gauss_index), zero_int(chunk_tile), zero_int(chunk_start),
-            zero_ne, g_xys, g_conic, g_opa, g_col)
+    return (zero_int(sort_gauss), zero_int(chunk_tile), zero_int(chunk_start),
+            zero_int(chunk_valid), zero_int(chunk_src), zero_ne,
+            g_xys, g_conic, g_opa, g_col)
 
 
 _blend_custom.defvjp(_blend_fwd, _blend_bwd)

@@ -32,16 +32,38 @@ def build_scene(cfg):
             chunk=int(cfg['raster']['chunk']),
             use_pallas=_use_pallas(cfg))
         return scene, meta, scene  # eval on train split for synthetic
+    d = cfg['dataset']
+    ds = float(d.get('downscale', 1))
+    bg = d.get('background', 'white')
     if kind == 'dnerf':
         from sk_gs_tpu.data.dnerf import load_dnerf
-        d = cfg['dataset']
         scene, meta = load_dnerf(d['root'], d['scene'], 'train',
-                                 downscale=int(d.get('downscale', 1)),
-                                 background=d.get('background', 'white'))
+                                 downscale=ds, background=bg)
         try:
             eval_scene, _ = load_dnerf(d['root'], d['scene'], 'val',
-                                       downscale=int(d.get('downscale', 1)),
-                                       background=d.get('background', 'white'))
+                                       downscale=ds, background=bg)
+        except FileNotFoundError:
+            eval_scene = scene
+        return scene, meta, eval_scene
+    if kind == 'wim':
+        from sk_gs_tpu.data.wim import load_wim
+        fr = tuple(d.get('frame_ranges', (0, 50)))
+        scene, meta = load_wim(d['root'], d['scene'], 'train', downscale=ds,
+                               background=bg, frame_ranges=fr)
+        try:
+            eval_scene, _ = load_wim(d['root'], d['scene'], 'test',
+                                     downscale=ds, background=bg,
+                                     frame_ranges=fr)
+        except FileNotFoundError:
+            eval_scene = scene
+        return scene, meta, eval_scene
+    if kind == 'zju':
+        from sk_gs_tpu.data.zju import load_zju
+        scene, meta = load_zju(d['root'], str(d['scene']), 'train',
+                               downscale=int(ds), background=bg)
+        try:
+            eval_scene, _ = load_zju(d['root'], str(d['scene']), 'test',
+                                     downscale=int(ds), background=bg)
         except FileNotFoundError:
             eval_scene = scene
         return scene, meta, eval_scene
