@@ -64,8 +64,11 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     #    with the stable radix sort in the reference).
     order = jnp.argsort(pre.depths, stable=True)
     touched_s = pre.tiles_touched[order]
-    rect_min_s = pre.rect_min[order]
-    rect_w_s = (pre.rect_max[order, 0] - rect_min_s[:, 0]).astype(jnp.int32)
+    # pack (rect_min_x, rect_min_y, rect_w) into one int32 so the slot
+    # expansion needs a single K-wide gather (TPU gathers ~10 ns/elem)
+    rect_w = (pre.rect_max[:, 0] - pre.rect_min[:, 0]).astype(jnp.int32)
+    packed_rect = (pre.rect_min[:, 0] | (pre.rect_min[:, 1] << 10)
+                   | (jnp.maximum(rect_w, 1) << 20)).astype(jnp.int32)[order]
 
     incl = jnp.cumsum(touched_s)
     total = incl[-1]
@@ -73,20 +76,27 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
 
     # 2. expand: slot k -> (sorted-gaussian gs, local tile offset).
     #    Implemented as scatter-max + cummax instead of searchsorted: each
-    #    touching Gaussian stamps its index at its first slot, cummax fills
+    #    touching Gaussian stamps its values at its first slot, cummax fills
     #    the segment. (Large-query searchsorted is a serial chain of K-wide
     #    gathers on TPU — measured 15 ms at K=2^17 vs ~0.1 ms for this.)
     slots = jnp.arange(K, dtype=jnp.int32)
     stamp_pos = jnp.where(touched_s > 0, excl, K)  # tiles_touched=0 -> drop
-    seg = jnp.zeros((K,), jnp.int32).at[stamp_pos].max(
-        jnp.arange(n, dtype=jnp.int32) + 1, mode='drop')
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    seg = jnp.zeros((K,), jnp.int32).at[stamp_pos].max(gidx + 1, mode='drop')
     gs = jnp.maximum(jax.lax.cummax(seg) - 1, 0)
-    local = slots - excl[gs]
+    # segment start (= excl of the owning Gaussian) via a second stamp:
+    # excl is strictly increasing over stamped gaussians, so cummax works
+    seg_start = jax.lax.cummax(
+        jnp.zeros((K,), jnp.int32).at[stamp_pos].max(excl + 1, mode='drop')) - 1
+    local = slots - jnp.maximum(seg_start, 0)
     valid = slots < total
 
-    rw = jnp.maximum(rect_w_s[gs], 1)
-    tx = rect_min_s[gs, 0] + local % rw
-    ty = rect_min_s[gs, 1] + local // rw
+    pr = packed_rect[gs]  # the one K-wide gather
+    rx = pr & 0x3FF
+    ry = (pr >> 10) & 0x3FF
+    rw = (pr >> 20) & 0x3FF
+    tx = rx + local % rw
+    ty = ry + local // rw
     tile_id = jnp.where(valid, ty * cfg.grid_w + tx, T).astype(jnp.int32)
 
     # 3. stable sort by tile id (depth order preserved within tile)

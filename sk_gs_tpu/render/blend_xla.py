@@ -121,3 +121,71 @@ def assemble_image(tile_color: jnp.ndarray, tile_alpha: jnp.ndarray,
     alpha = alpha.transpose(0, 2, 1, 3).reshape(gh * TILE, gw * TILE)
     H, W = cfg.image_height, cfg.image_width
     return {'images': img[:H, :W], 'opacity': alpha[:H, :W]}
+
+
+def topk_weights(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
+                 opa: jnp.ndarray, cfg: RasterConfig, k: int = 5
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel top-k contributing Gaussians and their blend weights.
+
+    Parity: ``gaussian_topk_weights`` (/root/reference/my_ext/_C/src/nerf/
+    gaussian_topk.cu, exposed via ``topk_weights()``,
+    networks/renderer/gaussian_render.py:343-347) — used for GUI picking.
+
+    Returns (indices [H, W, k] int32 into the original Gaussian ids,
+    weights [H, W, k]); index -1 where fewer than k contributors.
+    """
+    C = cfg.chunk
+    P = TILE * TILE
+    gi_sorted = binned.sort_gauss
+    px_all, py_all = _tile_pixel_coords(binned.chunk_tile, cfg)
+
+    def step(carry, inp):
+        T_run, top_w, top_i = carry
+        src, n_valid, start, tile, px, py = inp
+        T_run = jnp.where(start > 0, jnp.ones_like(T_run), T_run)
+        top_w = jnp.where(start > 0, jnp.zeros_like(top_w), top_w)
+        top_i = jnp.where(start > 0, jnp.full_like(top_i, -1), top_i)
+        gi_c = jax.lax.dynamic_slice(gi_sorted, (src,), (C,))
+        alpha = chunk_alpha(xys[gi_c], conic[gi_c], opa[gi_c], px, py)
+        alpha = jnp.where(jnp.arange(C)[:, None] < n_valid, alpha, 0.0)
+        om = 1.0 - alpha
+        P_incl = T_run[None, :] * jnp.cumprod(om, axis=0)
+        contrib = P_incl >= T_EPS
+        w = jnp.where(contrib, alpha * P_incl / om, 0.0)            # [C, P]
+        T_new = T_run * jnp.prod(jnp.where(contrib, om, 1.0), axis=0)
+        # merge chunk weights into the running per-pixel top-k
+        all_w = jnp.concatenate([top_w, w.T], axis=1)               # [P, k+C]
+        all_i = jnp.concatenate(
+            [top_i, jnp.broadcast_to(gi_c[None, :], (P, C))], axis=1)
+        new_w, sel = jax.lax.top_k(all_w, k)
+        new_i = jnp.take_along_axis(all_i, sel, axis=1)
+        new_i = jnp.where(new_w > 0, new_i, -1)
+        # emit per-chunk state; the last chunk of each tile wins downstream
+        return (T_new, new_w, new_i), (new_w, new_i)
+
+    T0 = jnp.ones((P,), jnp.float32)
+    w0 = jnp.zeros((P, k), jnp.float32)
+    i0 = jnp.full((P, k), -1, jnp.int32)
+    _, (ws, is_) = jax.lax.scan(
+        step, (T0, w0, i0),
+        (binned.chunk_src, binned.chunk_valid, binned.chunk_start_flag,
+         binned.chunk_tile, px_all, py_all))
+
+    T_tiles = cfg.num_tiles
+    nxt_start = jnp.concatenate(
+        [binned.chunk_start_flag[1:], jnp.ones((1,), binned.chunk_start_flag.dtype)])
+    is_last = (nxt_start > 0)[:, None, None]
+    tile_w = jax.ops.segment_sum(jnp.where(is_last, ws, 0.0),
+                                 binned.chunk_tile, num_segments=T_tiles)
+    tile_i = jax.ops.segment_sum(
+        jnp.where(is_last, is_ + 1, 0), binned.chunk_tile,
+        num_segments=T_tiles) - 1
+
+    gh, gw = cfg.grid_h, cfg.grid_w
+    H, W = cfg.image_height, cfg.image_width
+    wimg = tile_w.reshape(gh, gw, TILE, TILE, k).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * TILE, gw * TILE, k)[:H, :W]
+    iimg = tile_i.reshape(gh, gw, TILE, TILE, k).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * TILE, gw * TILE, k)[:H, :W]
+    return iimg, wimg

@@ -41,11 +41,23 @@ class PreprocessOut(NamedTuple):
 
 def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
                   scale_modifier: float = 1.0) -> jnp.ndarray:
-    """[N,3] scales + [N,4] quats -> [N, 3, 3] world covariance R S^2 R^T."""
+    """[N,3] scales + [N,4] quats -> [N, 6] world covariance R S^2 R^T packed
+    as (xx, xy, xz, yy, yz, zz).
+
+    Unrolled elementwise (VPU) instead of batched 3x3 einsums: XLA lowers
+    tiny batched matmuls to MXU with costly layout shuffles, and default
+    MXU precision is bf16. Mirrors the CUDA computeCov3D accumulation
+    (gaussian_preprocess_colmap.cu:121-152).
+    """
     R = quat.to_matrix(rotations, pre_normalize=True)
-    s2 = jnp.square(scales * scale_modifier)
-    return jnp.einsum('nij,nj,nkj->nik', R, s2, R,
-                      precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.square(scales * scale_modifier)  # [N, 3]
+    # cov[i, k] = sum_j R[i, j] * s2[j] * R[k, j]
+    out = []
+    for i in range(3):
+        for k in range(i, 3):
+            out.append(sum(R[:, i, j] * s2[:, j] * R[:, k, j]
+                           for j in range(3)))
+    return jnp.stack(out, axis=-1)  # (xx, xy, xz, yy, yz, zz)
 
 
 def project_points(means3d: jnp.ndarray, view: ViewParams):
@@ -77,19 +89,29 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, view: ViewParams,
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J rows: [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-        jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-    ], axis=-2)  # [N, 2, 3]
+    # J rows: [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]; unrolled
+    # elementwise (see compute_cov3d note)
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
     W = view.Tw2v[:3, :3]  # world->view rotation
-    hp = jax.lax.Precision.HIGHEST  # bf16 MXU passes distort covariances
-    A = jnp.einsum('nij,jk->nik', J, W, precision=hp)          # [N, 2, 3]
-    cov = jnp.einsum('nij,njk,nlk->nil', A, cov3d, A, precision=hp)  # [N, 2, 2]
-    cxx = cov[:, 0, 0] + 0.3
-    cyy = cov[:, 1, 1] + 0.3
-    cxy = cov[:, 0, 1]
+    # A = J @ W: A[0,k] = j00 W[0,k] + j02 W[2,k]; A[1,k] = j11 W[1,k] + j12 W[2,k]
+    a0 = [j00 * W[0, k] + j02 * W[2, k] for k in range(3)]
+    a1 = [j11 * W[1, k] + j12 * W[2, k] for k in range(3)]
+    # S = cov3d (packed xx,xy,xz,yy,yz,zz); B = A @ Sigma
+    sxx, sxy, sxz, syy, syz, szz = (cov3d[:, i] for i in range(6))
+
+    def sig_row(a):
+        return (a[0] * sxx + a[1] * sxy + a[2] * sxz,
+                a[0] * sxy + a[1] * syy + a[2] * syz,
+                a[0] * sxz + a[1] * syz + a[2] * szz)
+
+    b0 = sig_row(a0)
+    b1 = sig_row(a1)
+    cxx = b0[0] * a0[0] + b0[1] * a0[1] + b0[2] * a0[2] + 0.3
+    cyy = b1[0] * a1[0] + b1[1] * a1[1] + b1[2] * a1[2] + 0.3
+    cxy = b0[0] * a1[0] + b0[1] * a1[1] + b0[2] * a1[2]
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 

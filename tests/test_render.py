@@ -166,3 +166,31 @@ class TestBlendVsOracle:
         e = np.asarray(out['extras'][..., 0])
         o = np.asarray(out['opacity'])
         np.testing.assert_allclose(e, o, atol=2e-5)
+
+
+class TestTopkWeights:
+    def test_topk_picks_dominant_gaussian(self, rng):
+        from sk_gs_tpu.render import binning as binning_mod
+        from sk_gs_tpu.render import blend_xla
+        from sk_gs_tpu.render.preprocess import preprocess as pp
+        # one big opaque gaussian in front, several faint behind
+        n = 8
+        means = np.zeros((n, 3), np.float32)
+        means[0, 2] = -0.5  # closest to camera (camera at z=-4)
+        g = GaussianInputs(
+            means3d=jnp.asarray(means),
+            scales=jnp.full((n, 3), 0.2),
+            rotations=jnp.tile(jnp.asarray([[0.0, 0, 0, 1]]), (n, 1)),
+            opacities=jnp.asarray([0.95] + [0.1] * (n - 1)),
+            colors=jnp.ones((n, 3)))
+        view = make_view()
+        pre = pp(g, view, CFG)
+        binned = binning_mod.build_tile_lists(pre, CFG)
+        pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+        idx, w = blend_xla.topk_weights(
+            binned, pad1(pre.means2d), pad1(pre.conic),
+            pad1(g.opacities), CFG, k=3)
+        assert idx.shape == (48, 64, 3)
+        cy, cx = 24, 32
+        assert int(idx[cy, cx, 0]) == 0  # dominant contributor first
+        assert float(w[cy, cx, 0]) > 0.5
