@@ -44,7 +44,7 @@ def main():
         tan_fovx=jnp.asarray(np.tan(0.4), jnp.float32),
         tan_fovy=jnp.asarray(np.tan(0.4), jnp.float32))
     cfg = RasterConfig(image_width=W, image_height=H,
-                       pair_capacity=2 ** 17, chunk=256, use_pallas=on_tpu)
+                       pair_capacity=2 ** 17, chunk=128, use_pallas=on_tpu)
 
     def loss_fn(g):
         out = render(g, view, cfg)

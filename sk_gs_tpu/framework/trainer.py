@@ -88,6 +88,7 @@ class SKGSTrainer:
                  pcd: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  gs_knn_num: int = 20,
                  gs_knn_update_interval: Tuple[int, int] = (1000, 3000),
+                 sampler=None,
                  seed: int = 0):
         self.cfg = cfg
         self.rcfg = rcfg
@@ -107,6 +108,11 @@ class SKGSTrainer:
             key=jax.random.PRNGKey(seed),
             gs_knn_index=jnp.zeros((model.capacity, gs_knn_num), jnp.int32))
         self._step_fns: Dict[str, Callable] = {}
+        # optional callback(name) saving a named stage snapshot (the
+        # reference saves init.pth / sk_init.pth at stage boundaries)
+        self.snapshot_fn: Optional[Callable[[str], None]] = None
+        from ..data.sampler import UniformSampler
+        self.sampler = sampler or UniformSampler(scene.num_views, seed)
         self._bg = jnp.asarray(
             self.meta.background if self.meta.background is not None
             else (np.ones(3, np.float32)
@@ -411,6 +417,8 @@ class SKGSTrainer:
                 cfg, st.model, st.opt_state, self.pcd[0], self.pcd[1])
             st.reinit_done = True
             log.info('step %d: gaussians re-initialized from pcd', step)
+            if self.snapshot_fn is not None:
+                self.snapshot_fn('init.npz')  # sk_gs.py:1906 parity
         # canonical-net replacement (hook_before_train_step,
         # sk_gs.py:1865-1876): move points/superpoints to the canonical
         # frame and swap sp_deform <- canonical weights
@@ -428,6 +436,8 @@ class SKGSTrainer:
                 distill_steps=min(cfg.joint_init_steps, 2000))
             st.skeleton_initialized = True
             log.info('step %d: skeleton initialized', step)
+            if self.snapshot_fn is not None:
+                self.snapshot_fn('sk_init.npz')  # sk_gs.py:1066 parity
 
     def _canonical_replace(self):
         import jax.numpy as jnp
@@ -548,8 +558,8 @@ class SKGSTrainer:
         if stage == 'sp':
             self.update_gs_knn(step)
 
-        st.key, k_view, k_step = jax.random.split(st.key, 3)
-        vidx = int(jax.random.randint(k_view, (), 0, self.scene.num_views))
+        st.key, k_step = jax.random.split(st.key)
+        vidx = self.sampler.sample(step)
         view = self.scene.view(vidx)
         image = self.scene.images[vidx]
         t = self.scene.times[vidx]

@@ -102,3 +102,29 @@ class TestSynthetic:
         # the articulated chain must actually move between frames
         d = float(np.abs(np.asarray(scene.images[0] - scene.images[-1])).max())
         assert d > 0.05
+
+
+class TestSamplers:
+    def test_uniform_covers_all(self):
+        from sk_gs_tpu.data.sampler import UniformSampler
+        s = UniformSampler(10, seed=0)
+        seen = {s.sample(i) for i in range(400)}
+        assert seen == set(range(10))
+
+    def test_time_incremental_window(self):
+        from sk_gs_tpu.data.sampler import TimeIncrementalSampler
+        times = np.linspace(0, 1, 20)
+        s = TimeIncrementalSampler(times, total_steps=100, t_min=0.1, seed=0)
+        early = [s.sample(1) for _ in range(100)]
+        assert max(times[i] for i in early) <= 0.1 + 1e-6
+        late = [s.sample(100) for _ in range(100)]
+        assert max(times[i] for i in late) > 0.5
+
+    def test_canonical_oversampling(self):
+        from sk_gs_tpu.data.sampler import CanonicalSampler
+        s = CanonicalSampler(100, canonical_ids=[7], p0=0.5,
+                             anneal_steps=1000, seed=0)
+        early = sum(s.sample(1) == 7 for _ in range(1000))
+        assert early > 300  # ~50% + 1% background
+        late = sum(s.sample(10 ** 6) == 7 for _ in range(1000))
+        assert late < 60

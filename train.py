@@ -179,6 +179,9 @@ def main(argv=None):
                           seed=int(cfg['train'].get('seed', 0)))
     ckpt = CheckpointManager(out_dir / 'checkpoints',
                              interval=int(cfg['train'].get('checkpoint_interval', 5000)))
+    trainer.snapshot_fn = lambda name: ckpt.save(
+        {'model': trainer.state.model, 'opt': trainer.state.opt_state},
+        trainer.state.step, force=True, name=name, manage=False)
     total = args.steps or skcfg.total_steps
     eval_interval = int(cfg['train'].get('eval_interval', 5000))
     log_interval = int(cfg['train'].get('log_interval', 100))
@@ -218,6 +221,17 @@ def main(argv=None):
     result['train_time_s'] = time.time() - t0
     with (out_dir / 'results.json').open('w') as f:
         json.dump(result, f, indent=2)
+    # 3DGS-standard PLY export of the canonical Gaussians
+    # (save_ply parity, gaussian_splatting.py:363-380)
+    from sk_gs_tpu.utils.ply import save_gaussian_ply
+    m = trainer.state.model
+    save_gaussian_ply(out_dir / 'last.ply',
+                      {k: np.asarray(v) for k, v in m.params.items()
+                       if k in ('xyz', 'f_dc', 'f_rest', 'opacity', 'scaling',
+                                'rotation')},
+                      np.asarray(m.alive))
+    ckpt.save({'model': trainer.state.model, 'opt': trainer.state.opt_state},
+              total, force=True, name='last.npz', manage=False)
     logging.info('done: %s', result)
     return result
 
