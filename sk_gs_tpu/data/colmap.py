@@ -37,9 +37,13 @@ def _read_cameras_txt(path: Path) -> Dict[int, dict]:
 
 def _read_images_txt(path: Path):
     images = []
+    # keep blank lines: each image line is FOLLOWED by its (possibly empty)
+    # 2D-points line, so the stride-2 walk must see both
     lines = [l for l in path.read_text().splitlines()
-             if not l.startswith('#') and l.strip()]
-    for i in range(0, len(lines), 2):  # every other line is 2D points
+             if not l.startswith('#')]
+    for i in range(0, len(lines) - 1, 2):
+        if not lines[i].strip():
+            continue
         parts = lines[i].split()
         qw, qx, qy, qz = (float(p) for p in parts[1:5])
         t = np.asarray([float(p) for p in parts[5:8]], np.float32)

@@ -29,7 +29,7 @@ from ..models import optim, sk_gs, sk_gs_ops, skeleton, superpoints
 from ..models.gaussian_splatting import (GaussianConfig, densify_and_prune,
                                          accumulate_stats, expon_lr,
                                          reset_opacity)
-from ..models.losses import LossWeights, l1_loss, psnr, ssim_loss
+from ..models.losses import LossWeights, l1_loss, mse_loss, psnr, ssim_loss
 from ..models.sk_gs import SKGSConfig, SKGSModel, forward_deltas
 from ..render import RasterConfig, composite_background, render
 from ..render.settings import GaussianInputs, ViewParams
@@ -178,6 +178,7 @@ class SKGSTrainer:
     def _build_step_fn(self, family: str) -> Callable:
         cfg, rcfg = self.cfg, self.rcfg
         update_cache = family == 'sp'
+        image_method = self.loss_w.cfg('image').get('method', 'l1')
         with_motion_reg = (family in ('sp', 'init')
                            and any(self.loss_w.ever_nonzero(n)
                                    for n in ('elastic', 'acc', 'arap')))
@@ -290,8 +291,9 @@ class SKGSTrainer:
                              means2d_offset=m2d_off)
                 img = composite_background(out['images'], out['opacity'], bg)
 
+                img_loss = mse_loss if image_method == 'mse' else l1_loss
                 losses = {
-                    'rgb': lw['image'] * l1_loss(img, image),
+                    'rgb': lw['image'] * img_loss(img, image),
                     'ssim': lw['ssim'] * ssim_loss(img, image),
                 }
                 aux = dict(out_def.aux)
@@ -368,6 +370,9 @@ class SKGSTrainer:
                 model = model._replace(
                     sp_cache=model.sp_cache.at[time_id].set(
                         jax.lax.stop_gradient(aux['cache_row'])))
+            if update_cache and cfg.warp_method == 'largest' and 'p2sp' in aux:
+                model = model._replace(
+                    p2sp=jax.lax.stop_gradient(aux['p2sp']))
             if 'joint_cost_now' in aux:
                 new_cost = model.joint_cost * cfg.sk_momentum \
                     + aux['joint_cost_now'] * (1 - cfg.sk_momentum)

@@ -128,3 +128,64 @@ class TestSamplers:
         assert early > 300  # ~50% + 1% background
         late = sum(s.sample(10 ** 6) == 7 for _ in range(1000))
         assert late < 60
+
+
+class TestZJU:
+    def test_load(self, tmp_path, rng):
+        root = tmp_path / 'zju'
+        scene_root = root / 'CoreView_999'
+        (scene_root / 'imgs').mkdir(parents=True)
+        (scene_root / 'mask').mkdir()
+        n_cams, n_frames = 6, 3
+        K = np.tile(np.array([[50.0, 0, 16], [0, 50.0, 16], [0, 0, 1]],
+                             np.float32), (n_cams, 1, 1))
+        R = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
+        T = rng.normal(size=(n_cams, 3, 1)).astype(np.float32) * 1000
+        ims = []
+        for f in range(n_frames):
+            frame_ims = []
+            for c in range(n_cams):
+                name = f'imgs/f{f}_c{c}.png'
+                _write_png(scene_root / name,
+                           rng.uniform(size=(32, 32, 3)).astype(np.float32))
+                frame_ims.append(name)
+            ims.append({'ims': frame_ims})
+        annots = {'cams': {'K': K, 'R': R, 'T': T, 'D': np.zeros((n_cams, 5))},
+                  'ims': ims}
+        np.save(scene_root / 'annots.npy', annots)
+
+        from sk_gs_tpu.data.zju import load_zju
+        scene, meta = load_zju(str(root), '999', 'train',
+                               train_camera_ids=(0, 2))
+        assert scene.images.shape[0] == 2 * n_frames
+        assert meta.num_frames == n_frames
+        test_scene, _ = load_zju(str(root), '999', 'test',
+                                 train_camera_ids=(0, 2))
+        assert test_scene.images.shape[0] == 4 * n_frames
+
+
+class TestColmap:
+    def test_load_text_model(self, tmp_path, rng):
+        root = tmp_path / 'scene'
+        (root / 'sparse' / '0').mkdir(parents=True)
+        (root / 'images').mkdir()
+        (root / 'sparse' / '0' / 'cameras.txt').write_text(
+            '# comment\n1 SIMPLE_PINHOLE 32 32 40.0 16 16\n')
+        img_lines = []
+        for i in range(4):
+            _write_png(root / 'images' / f'im{i}.png',
+                       rng.uniform(size=(32, 32, 3)).astype(np.float32))
+            img_lines.append(f'{i+1} 1 0 0 0 0.{i} 0.2 4.0 1 im{i}.png')
+            img_lines.append('')  # empty 2D-points line
+        (root / 'sparse' / '0' / 'images.txt').write_text('\n'.join(img_lines) + '\n')
+        pts_lines = [f'{j} {j*0.1} {j*0.2} {j*0.3} 100 150 200 0.1'
+                     for j in range(10)]
+        (root / 'sparse' / '0' / 'points3D.txt').write_text('\n'.join(pts_lines) + '\n')
+
+        from sk_gs_tpu.data.colmap import load_colmap
+        scene, meta, pts, cols = load_colmap(str(root), llffhold=0)
+        assert scene.images.shape == (4, 32, 32, 3)
+        assert pts.shape == (10, 3)
+        assert cols.shape == (10, 3)
+        np.testing.assert_allclose(cols[0], [100 / 255, 150 / 255, 200 / 255],
+                                   atol=1e-6)
