@@ -613,9 +613,9 @@ class SKGSTrainer:
     def render_view(self, scene: Scene, i: int, stage: str) -> jnp.ndarray:
         cfg = self.cfg
         m = self.state.model
-        out_def = forward_deltas(cfg, m, scene.times[i], stage,
-                                 time_id=scene.time_ids[i]
-                                 if stage.startswith('sk') else None)
+        # eval uses t directly; sk stages interpolate cached per-frame root
+        # transforms over t (reference test-time path, sk_gs.py:1126-1130)
+        out_def = forward_deltas(cfg, m, scene.times[i], stage, time_id=None)
         from ..models.gaussian_splatting import gaussian_inputs
         g = gaussian_inputs(m.gauss_view(), cfg.gauss,
                             d_xyz=out_def.d_xyz,

@@ -261,19 +261,24 @@ def densify_and_prune(m: GaussianModel, opt_state: optim.AdamState,
     off2 = quat.apply(rotn, noise2)
     split_scale = jnp.log(jnp.maximum(scales / (0.8 * 2.0), 1e-10))
 
+    # per-Gaussian row leaves to densify: the 6 core ones plus any extra
+    # capacity-axis leaves the model added (hyper features, sp_W — the
+    # reference extends param_names_map the same way, sk_gs.py:429,471)
+    row_leaves = [k for k, v in p.items()
+                  if hasattr(v, 'ndim') and v.ndim >= 1 and v.shape[0] == cap]
     # new-row values (for clone: copy; for split: sample 2 -> goes to slot)
-    new_vals = {
-        'xyz': jnp.where(split_sel[:, None], p['xyz'] + off2, p['xyz']),
-        'scaling': jnp.where(split_sel[:, None], split_scale, p['scaling']),
-        'f_dc': p['f_dc'], 'f_rest': p['f_rest'],
-        'rotation': p['rotation'], 'opacity': p['opacity'],
-    }
+    new_vals = {k: p[k] for k in row_leaves}
+    new_vals['xyz'] = jnp.where(split_sel[:, None], p['xyz'] + off2, p['xyz'])
+    new_vals['scaling'] = jnp.where(split_sel[:, None], split_scale,
+                                    p['scaling'])
 
     def scatter_new(dst, vals):
         idx = jnp.where(has_slot, slot, cap)  # cap = out of range -> dropped
         return dst.at[idx].set(vals, mode='drop')
 
-    params = {k: scatter_new(v, new_vals[k]) for k, v in p.items()}
+    params = dict(p)
+    for k in row_leaves:
+        params[k] = scatter_new(p[k], new_vals[k])
     # split: replace ORIGINAL row with sample 1
     params['xyz'] = jnp.where(split_sel[:, None], p['xyz'] + off1, params['xyz'])
     params['scaling'] = jnp.where(split_sel[:, None], split_scale, params['scaling'])
@@ -293,7 +298,7 @@ def densify_and_prune(m: GaussianModel, opt_state: optim.AdamState,
     touched = jnp.zeros_like(alive).at[jnp.where(has_slot, slot, cap)].set(
         True, mode='drop') | split_sel
     new_opt = opt_state
-    for name in params.keys():
+    for name in row_leaves:
         new_opt = optim.reset_rows(new_opt, name, touched)
 
     stats = {

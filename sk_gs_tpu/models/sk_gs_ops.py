@@ -455,9 +455,8 @@ def superpoint_merge(cfg: SKGSConfig, model: SKGSModel,
             merged[j] = True
         return removed
 
-    removed = jax.pure_callback(
-        _host, jax.ShapeDtypeStruct((cfg.num_superpoints,), bool),
-        min_diff, min_index, model.sp_alive)
+    # host-eager (between steps; axon PJRT lacks pure_callback support)
+    removed = jnp.asarray(_host(min_diff, min_index, model.sp_alive))
     alive = model.sp_alive & ~removed
     stats = {'n_merged': jnp.sum(removed)}
     return model._replace(sp_alive=alive), opt_state, stats

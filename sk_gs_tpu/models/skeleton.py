@@ -165,7 +165,11 @@ def update_joint(cost: jnp.ndarray, sp_points: jnp.ndarray,
                  sp_alive: jnp.ndarray, sk_knn_num: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Restrict cost to sk-knn nearest neighbors (update_joint,
-    sk_gs.py:1246-1253) then run the host MST via pure_callback.
+    sk_gs.py:1246-1253) then run the host MST.
+
+    Host-eager by design: every call site sits between jitted steps (the
+    reference also runs its MST on the CPU between steps), and the axon
+    PJRT backend does not support pure_callback.
 
     Returns (parents [M, L] int32, depth [M] int32, root [] int32).
     """
@@ -177,16 +181,10 @@ def update_joint(cost: jnp.ndarray, sp_points: jnp.ndarray,
         big = jnp.abs(jnp.max(jnp.where(jnp.isfinite(cost), cost, 0.0))) + 1.0
         cost = jnp.where(d > kth[:, None], cost + big, cost)
 
-    def _host(c, a):
-        return joint_discovery_host(np.asarray(c), np.asarray(a))
-
-    parents, depth, root = jax.pure_callback(
-        _host,
-        (jax.ShapeDtypeStruct((m, MAX_LEVELS), jnp.int32),
-         jax.ShapeDtypeStruct((m,), jnp.int32),
-         jax.ShapeDtypeStruct((), jnp.int32)),
-        cost, sp_alive)
-    return parents, depth, root
+    parents, depth, root = joint_discovery_host(
+        np.asarray(cost), np.asarray(sp_alive))
+    return (jnp.asarray(parents, jnp.int32), jnp.asarray(depth, jnp.int32),
+            jnp.asarray(root, jnp.int32))
 
 
 # ---------------------------------------------------------------- joint cost

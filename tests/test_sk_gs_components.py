@@ -124,12 +124,12 @@ class TestJointDiscovery:
         assert (parents[~alive, 0] == root).all()
         assert (depth[~alive] == 0).all()
 
-    def test_update_joint_jit(self, rng):
+    def test_update_joint(self, rng):
         m = 8
         cost = jnp.asarray(rng.uniform(1, 2, (m, m)).astype(np.float32))
         sp = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32))
-        parents, depth, root = jax.jit(
-            lambda c, s: skeleton.update_joint(c, s, jnp.ones(m, bool), 3))(cost, sp)
+        parents, depth, root = skeleton.update_joint(
+            cost, sp, jnp.ones(m, bool), 3)
         assert parents.shape == (m, skeleton.MAX_LEVELS)
         assert 0 <= int(root) < m
 
