@@ -36,6 +36,22 @@ from ..render.settings import GaussianInputs, ViewParams
 
 log = logging.getLogger(__name__)
 
+LW_NAMES = ('image', 'ssim', 'sparse', 'smooth', 'joint', 'joint_all',
+            'c_net', 'cmp_p', 'cmp_t', 'cmp_r', 'cmp_s', 'elastic', 'acc',
+            'arap')
+
+
+def expon_lr_traced(s, lr_init, lr_final, lr_delay_mult, max_steps):
+    """In-graph get_expon_lr_func (host scalars -> one traced step input;
+    per-step scalar uploads through the TPU tunnel cost ~10 ms each)."""
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.zeros(())
+    delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+        0.5 * jnp.pi * jnp.clip(s / 0.01, 0, 1))  # lr_delay_steps fixed 0.01
+    t = jnp.clip(s / max_steps, 0.0, 1.0)
+    return delay_rate * jnp.exp(
+        jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+
 
 def check_interval_v2(step: int, interval: int, start: int, end: int,
                       close: str = '()') -> bool:
@@ -165,6 +181,50 @@ class SKGSTrainer:
                 tree[name] = flat.get(name, 0.0)
         return tree
 
+    def lr_trees_traced(self, s):
+        """Same as lr_trees but from ONE traced stage-relative step scalar
+        (built inside the jitted step; avoids ~30 scalar uploads/step)."""
+        cfg = self.cfg
+        g = cfg.gauss
+        spatial = 5.0
+        lr = g.lr
+        xyz_lr = expon_lr_traced(s, lr * g.lr_position_init * spatial,
+                                 lr * g.lr_position_final * spatial,
+                                 g.lr_position_delay_mult,
+                                 g.lr_position_max_steps)
+        deform_base = cfg.lr_deform_scale * lr * spatial * g.lr_position_init
+        deform_lr = expon_lr_traced(s, deform_base,
+                                    lr * g.lr_position_final * cfg.lr_deform_scale,
+                                    g.lr_position_delay_mult,
+                                    cfg.lr_deform_max_steps)
+        lr_f = lr * cfg.lr_feature_scale
+        flat = {
+            'xyz': xyz_lr, 'f_dc': lr * g.lr_feature,
+            'f_rest': lr * g.lr_feature / 20.0,
+            'opacity': lr * g.lr_opacity, 'scaling': lr * g.lr_scaling,
+            'rotation': lr * g.lr_rotation,
+            'hyper': lr_f, 'sp_hyper': lr_f,
+            'sp_points': deform_base, 'sp_W': deform_base,
+            'sp_radius': deform_base, 'sp_weight': deform_base,
+            'joint_pos': deform_base, 'global_tr': 0.0,
+            'joints': deform_base * cfg.lr_joints,
+        }
+        tree = {}
+        for name, leaf in self.state.model.params.items():
+            if name in ('sp_deform', 'canonical', 'sk_deform'):
+                tree[name] = jax.tree.map(lambda _: deform_lr, leaf)
+            else:
+                tree[name] = flat.get(name, 0.0)
+        return tree
+
+    def stage_rel_step(self, step: int) -> int:
+        stages = self.cfg.stages
+        if step <= stages['sp_fix'][0]:
+            return step
+        if step <= stages['sp'][1]:
+            return step - stages['sp_fix'][0]
+        return step - stages['sk_init'][0]
+
     # ------------------------------------------------------------ step fns
 
     def _get_step_fn(self, stage: str) -> Callable:
@@ -258,8 +318,14 @@ class SKGSTrainer:
 
         @partial(jax.jit, static_argnames=('stage',))
         def train_step(model: SKGSModel, opt_state, view: ViewParams,
-                       image, t, time_id, lrs, lw: Dict[str, jnp.ndarray],
-                       key, noise_scale, bg, gs_knn_index, stage: str):
+                       image, t, time_id, sched, key, bg, gs_knn_index,
+                       stage: str):
+            # sched packs [stage_rel_step, noise_scale, *loss_weights] as ONE
+            # device array: per-scalar uploads through the tunnel are ~10 ms
+            s_rel = sched[0]
+            noise_scale = sched[1]
+            lw = {name: sched[2 + i] for i, name in enumerate(LW_NAMES)}
+            lrs = self.lr_trees_traced(s_rel)
             k_noise, k_other = jax.random.split(key)
 
             def loss_fn(params, m2d_off):
@@ -570,17 +636,14 @@ class SKGSTrainer:
         t = self.scene.times[vidx]
         time_id = self.scene.time_ids[vidx]
 
-        lw = {name: jnp.asarray(self.loss_w.w(name), jnp.float32)
-              for name in ('image', 'ssim', 'sparse', 'smooth', 'joint',
-                           'joint_all', 'c_net', 'cmp_p', 'cmp_t', 'cmp_r',
-                           'cmp_s', 'elastic', 'acc', 'arap')}
         noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
+        sched = jnp.asarray(
+            [float(self.stage_rel_step(step)), noise]
+            + [self.loss_w.w(name) for name in LW_NAMES], jnp.float32)
         fn = self._get_step_fn(stage)
         st.model, st.opt_state, metrics = fn(
-            st.model, st.opt_state, view, image, t, time_id,
-            self.lr_trees(step), lw, k_step,
-            jnp.asarray(noise, jnp.float32), self._bg, st.gs_knn_index,
-            stage=stage)
+            st.model, st.opt_state, view, image, t, time_id, sched, k_step,
+            self._bg, st.gs_knn_index, stage=stage)
 
         # joint tree update on interval (update_joint, sk_gs.py:1554-1557)
         if stage == 'sp' and check_interval_v2(
@@ -593,7 +656,9 @@ class SKGSTrainer:
 
         self.maybe_adaptive_control(step)
         st.step = step
-        return {k: float(v) for k, v in metrics.items()}
+        # metrics stay as device scalars — callers float() them only when
+        # logging (each D2H fetch is a blocking tunnel round-trip)
+        return metrics
 
     def evaluate(self, scene: Optional[Scene] = None,
                  stage: Optional[str] = None) -> Dict[str, float]:

@@ -201,52 +201,63 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
         t_run[:] = jnp.ones_like(t_run)
         c_run[:] = jnp.zeros_like(c_run)
 
-    feat = feat_buf[i % 2]
-    px, py = _pixel_coords(tile, grid_w)
-    (alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w,
-     t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
-    t_excl = p_incl / om
+    # saturated fast path: once every pixel's transmittance is cut, all
+    # remaining entries of this tile have zero gradient — just emit zeros
+    live = start | (jnp.max(t_run[:]) >= T_EPS)
 
-    tf = 1.0 - af_ref[0, 0:1, :]                                   # (1, P)
-    g_alpha_out = galpha_ref[0, 0:1, :]                            # (1, P)
-    g_alpha_e = g_alpha_out * tf / om                              # (C, P)
-    gcols = []
-    for k in range(ch):
-        col_k = feat[:, 6 + k:7 + k]
-        wc = w * col_k
-        c_incl = c_run[k:k + 1, :] + _cumsum_sublanes(wc)
-        s_k = cf_ref[0, k:k + 1, :] - c_incl                       # suffix sum
-        gcol_out_k = gcolor_ref[0, k:k + 1, :]                     # (1, P)
-        g_alpha_e += gcol_out_k * (col_k * t_excl - s_k / om)
-        gcols.append(jnp.sum(gcol_out_k * w, axis=1, keepdims=True))
-        c_run[k:k + 1, :] += jnp.sum(wc, axis=0, keepdims=True)
-    # gradient flows only through splats that actually contributed: the
-    # alpha/power thresholds AND the transmittance cut (oracle/CUDA parity)
-    g_alpha_e = jnp.where(contrib & keep, g_alpha_e, 0.0)
+    @pl.when(live)
+    def _():
+        feat = feat_buf[i % 2]
+        px, py = _pixel_coords(tile, grid_w)
+        (alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w,
+         t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
+        t_excl = p_incl / om
 
-    g_power = alpha_raw * g_alpha_e
-    a = feat[:, 2:3]
-    b = feat[:, 3:4]
-    c = feat[:, 4:5]
-    gx = jnp.sum((a * dx + b * dy) * g_power, axis=1, keepdims=True)
-    gy = jnp.sum((c * dy + b * dx) * g_power, axis=1, keepdims=True)
-    ga = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
-    gb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
-    gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
-    go = jnp.sum(g * g_alpha_e, axis=1, keepdims=True)
+        tf = 1.0 - af_ref[0, 0:1, :]                               # (1, P)
+        g_alpha_out = galpha_ref[0, 0:1, :]                        # (1, P)
+        g_alpha_e = g_alpha_out * tf / om                          # (C, P)
+        gcols = []
+        for k in range(ch):
+            col_k = feat[:, 6 + k:7 + k]
+            wc = w * col_k
+            c_incl = c_run[k:k + 1, :] + _cumsum_sublanes(wc)
+            s_k = cf_ref[0, k:k + 1, :] - c_incl                   # suffix sum
+            gcol_out_k = gcolor_ref[0, k:k + 1, :]                 # (1, P)
+            g_alpha_e += gcol_out_k * (col_k * t_excl - s_k / om)
+            gcols.append(jnp.sum(gcol_out_k * w, axis=1, keepdims=True))
+            c_run[k:k + 1, :] += jnp.sum(wc, axis=0, keepdims=True)
+        # gradient flows only through splats that actually contributed: the
+        # alpha/power thresholds AND the transmittance cut (CUDA parity)
+        g_alpha_e = jnp.where(contrib & keep, g_alpha_e, 0.0)
 
-    pad = jnp.zeros((C, NUM_FEAT - 6 - ch), feat.dtype)
-    grads = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad], axis=1)
-    # zero the overlap tail: rows past n_valid belong to the NEXT tile's
-    # segment; its own later chunks re-write them with correct values
-    row = jax.lax.broadcasted_iota(jnp.int32, grads.shape, 0)
-    gfeat_buf[i % 2] = jnp.where(row < sv_ref[i], grads, 0.0)
+        g_power = alpha_raw * g_alpha_e
+        a = feat[:, 2:3]
+        b = feat[:, 3:4]
+        c = feat[:, 4:5]
+        gx = jnp.sum((a * dx + b * dy) * g_power, axis=1, keepdims=True)
+        gy = jnp.sum((c * dy + b * dx) * g_power, axis=1, keepdims=True)
+        ga = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
+        gb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
+        gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
+        go = jnp.sum(g * g_alpha_e, axis=1, keepdims=True)
+
+        pad = jnp.zeros((C, NUM_FEAT - 6 - ch), feat.dtype)
+        grads = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad],
+                                axis=1)
+        # zero the overlap tail: rows past n_valid belong to the NEXT tile's
+        # segment; its own later chunks re-write them with correct values
+        row = jax.lax.broadcasted_iota(jnp.int32, grads.shape, 0)
+        gfeat_buf[i % 2] = jnp.where(row < sv_ref[i], grads, 0.0)
+        t_run[:] = t_new
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        gfeat_buf[i % 2] = jnp.zeros_like(gfeat_buf[i % 2])
+
     pltpu.make_async_copy(
         gfeat_buf.at[i % 2],
         gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
         osems.at[i % 2]).start()
-
-    t_run[:] = t_new
 
     # drain outstanding stores at the end of the grid
     @pl.when(i == nc - 1)

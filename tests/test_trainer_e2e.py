@@ -128,3 +128,30 @@ class TestStagedTraining:
         trainer = SKGSTrainer(cfg, rcfg, one, meta, model, pcd=(pts, cols))
         losses = [trainer.train_step(s)['loss'] for s in range(1, 61)]
         assert losses[-1] < losses[0] * 0.8, f"{losses[0]} -> {losses[-1]}"
+
+
+class TestSPGSSchedule:
+    def test_sp_only_schedule(self, synthetic):
+        """SP-GS predecessor: superpoint stages only, no skeleton
+        (configs/d_nerf_sp_gs.yaml analogue)."""
+        scene, meta, gt = synthetic
+        cfg = tiny_cfg(meta.num_frames)._replace(
+            train_schedule=(
+                ('static', 0), ('init_fix', 5), ('init', 10), ('sp_fix', 5),
+                ('sp', 25), ('sk_init', 0), ('sk_fix', 0), ('sk', 0)))
+        rcfg = RasterConfig(image_width=48, image_height=48, sh_degree=1,
+                            pair_capacity=2 ** 13, chunk=64, use_pallas=False)
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1.5, 1.5, size=(150, 3)).astype(np.float32)
+        cols = rng.uniform(size=(150, 3)).astype(np.float32)
+        base = init_from_pcd(pts, cols, cfg.gauss)
+        model = sk_gs.init_model(jax.random.PRNGKey(3), cfg, base,
+                                 np.asarray(meta.train_times))
+        trainer = SKGSTrainer(cfg, rcfg, scene, meta, model, pcd=(pts, cols))
+        for step in range(1, cfg.total_steps + 1):
+            m = trainer.train_step(step)
+            assert np.isfinite(float(m['loss']))
+        assert trainer.state.sp_initialized
+        assert not trainer.state.skeleton_initialized  # never entered sk
+        res = trainer.evaluate(scene, stage='sp')
+        assert np.isfinite(res['PSNR'])
