@@ -9,10 +9,9 @@ NERF_Base_Dataset.get_background semantics (base.py:125-170).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -122,8 +122,6 @@ def load_colmap(root: str, images_dir: str = 'images',
                 near: float = 0.01, far: float = 100.0
                 ) -> Tuple[Scene, SceneMeta, np.ndarray, np.ndarray]:
     """Returns (scene, meta, pcd_points, pcd_colors)."""
-    import jax.numpy as jnp
-
     root = Path(root)
     sparse = root / 'sparse' / '0'
     if not sparse.exists():

@@ -11,7 +11,6 @@ Format: one .npz per checkpoint — flattened pytree leaves keyed by
 """
 from __future__ import annotations
 
-import json
 import logging
 from pathlib import Path
 from typing import Any, Dict, List, Optional

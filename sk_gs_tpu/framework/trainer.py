@@ -15,8 +15,7 @@ The functional re-design of ``GaussianTrainTask``
 from __future__ import annotations
 
 import logging
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -26,8 +25,7 @@ import numpy as np
 
 from ..data.base import Scene, SceneMeta
 from ..models import optim, sk_gs, sk_gs_ops, skeleton, superpoints
-from ..models.gaussian_splatting import (GaussianConfig, densify_and_prune,
-                                         accumulate_stats, expon_lr,
+from ..models.gaussian_splatting import (densify_and_prune, expon_lr,
                                          reset_opacity)
 from ..models.losses import LossWeights, l1_loss, mse_loss, psnr, ssim_loss
 from ..models.sk_gs import SKGSConfig, SKGSModel, forward_deltas

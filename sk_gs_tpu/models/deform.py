@@ -12,13 +12,13 @@ Parity targets:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.encoders import FreqEncoder, make_encoder
+from ..ops.encoders import FreqEncoder
 from ..ops import mlp as mlp_ops
 
 

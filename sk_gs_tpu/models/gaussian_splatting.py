@@ -14,7 +14,7 @@ Activations (parity, gaussian_splatting.py:155-160):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,10 @@ import numpy as np
 
 from ..ops import quaternion as quat
 from ..ops import se3
-from . import optim, skeleton, superpoints
+from . import skeleton, superpoints
 from .deform import (DeformNetConfig, SkeletonNetConfig, deform_net_apply,
                      deform_net_init, skeleton_net_apply, skeleton_net_init)
-from .gaussian_splatting import GaussianConfig, GaussianModel, inverse_sigmoid
+from .gaussian_splatting import GaussianConfig, GaussianModel
 
 ROT_BIAS = jnp.asarray([0.0, 0.0, 0.0, 1.0])
 

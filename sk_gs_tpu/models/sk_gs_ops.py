@@ -29,10 +29,9 @@ from ..ops import quaternion as quat
 from ..ops import se3
 from ..ops.knn import furthest_point_sampling
 from . import optim, skeleton, superpoints
-from .deform import deform_net_apply, skeleton_net_apply
-from .gaussian_splatting import inverse_sigmoid
+from .deform import deform_net_apply
 from .sk_gs import (ROT_BIAS, SKGSConfig, SKGSModel, sp_cache_row,
-                    sp_net_outputs, split_sp_cache, sp_stage, sk_stage)
+                    sp_net_outputs, split_sp_cache, sk_stage)
 
 log = logging.getLogger(__name__)
 

@@ -10,7 +10,7 @@ is unnecessary on TPU: this is trivially fused elementwise work for XLA.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ takes an ``is_opengl`` flag).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np

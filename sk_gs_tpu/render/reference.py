@@ -25,7 +25,7 @@ correctness gate), mirroring the reference's own dual-path oracle strategy
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ Raw (pre-activation) values are stored, as in the reference.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

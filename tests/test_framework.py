@@ -96,3 +96,59 @@ class TestParallel:
         out = jax.jit(fn)(*args)
         assert out.shape == (32, 32, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestTrainerResume:
+    def test_checkpoint_roundtrip_mid_training(self, tmp_path, rng):
+        """Save at step k, reload into a fresh trainer, continue — states
+        must match (reference --resume semantics)."""
+        from sk_gs_tpu.data.synthetic import make_synthetic_scene
+        from sk_gs_tpu.framework.checkpoint import CheckpointManager
+        from sk_gs_tpu.framework.trainer import SKGSTrainer
+        from sk_gs_tpu.models import sk_gs
+        from sk_gs_tpu.models.gaussian_splatting import init_from_pcd
+        from sk_gs_tpu.render import RasterConfig
+        from tests.test_trainer_e2e import tiny_cfg
+
+        scene, meta, gt = make_synthetic_scene(
+            seed=5, num_links=2, gauss_per_link=40, num_frames=4, h=32, w=32,
+            pair_capacity=2 ** 11, chunk=64)
+        cfg = tiny_cfg(meta.num_frames)._replace(
+            train_schedule=(('init_fix', 4), ('init', 16)),
+            init_sampling_step=10 ** 9)
+        rcfg = RasterConfig(image_width=32, image_height=32, sh_degree=1,
+                            pair_capacity=2 ** 11, chunk=64, use_pallas=False)
+        pts = rng.uniform(-1, 1, size=(80, 3)).astype(np.float32)
+        cols = rng.uniform(size=(80, 3)).astype(np.float32)
+
+        def make_trainer():
+            base = init_from_pcd(pts, cols, cfg.gauss)
+            model = sk_gs.init_model(jax.random.PRNGKey(7), cfg, base,
+                                     np.asarray(meta.train_times))
+            return SKGSTrainer(cfg, rcfg, scene, meta, model, pcd=(pts, cols))
+
+        t1 = make_trainer()
+        mgr = CheckpointManager(tmp_path, interval=0)
+        for s in range(1, 11):
+            t1.train_step(s)
+        mgr.save({'model': t1.state.model, 'opt': t1.state.opt_state}, 10,
+                 force=True)
+
+        t2 = make_trainer()
+        loaded = mgr.load({'model': t2.state.model, 'opt': t2.state.opt_state})
+        t2.state.model = loaded['state']['model']
+        t2.state.opt_state = loaded['state']['opt']
+        assert int(loaded['meta']['step']) == 10
+        np.testing.assert_allclose(
+            np.asarray(t2.state.model.params['xyz']),
+            np.asarray(t1.state.model.params['xyz']), atol=0)
+        # both continue identically for a few steps (same key path)
+        t1.state.key = jax.random.PRNGKey(99)
+        t2.state.key = jax.random.PRNGKey(99)
+        t1.sampler.rng = np.random.default_rng(42)
+        t2.sampler.rng = np.random.default_rng(42)
+        for s in range(11, 15):
+            m1 = t1.train_step(s)
+            m2 = t2.train_step(s)
+            np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                                       rtol=1e-6)

@@ -98,8 +98,7 @@ def build_model_cfg(cfg, meta, image_size):
                              sh_degree=int(m['sh_degree']),
                              lr=float(cfg['train'].get('lr', 1e-3))),
         net=net,
-        sk_net=__import__('sk_gs_tpu.models.deform', fromlist=['SkeletonNetConfig'])
-        .SkeletonNetConfig(
+        sk_net=SkeletonNetConfig(
             out_dims=(4, 4, 3), width=int(m['net'].get('width', 256)),
             depth=int(m['net'].get('depth', 8)), skips=sk_net_skips),
         train_schedule=sched,
