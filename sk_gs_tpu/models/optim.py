@@ -30,10 +30,22 @@ def adam_init(params) -> AdamState:
                      count=jnp.zeros((), jnp.int32))
 
 
+def clip_by_global_norm(grads, max_norm: float):
+    """Global-norm gradient clipping (the reference's --grad-clip option,
+    my_ext/framework.py execute_backward)."""
+    leaves = jax.tree.leaves(grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves) + 1e-20)
+    scale = jnp.minimum(1.0, max_norm / gnorm)
+    return jax.tree.map(lambda g: g * scale, grads), gnorm
+
+
 def adam_update(grads, state: AdamState, params, lr_tree,
-                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-15):
+                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-15,
+                clip_norm: float = 0.0):
     """One Adam step. lr_tree: pytree of scalars matching params (0 freezes
     a leaf exactly — mirrors the reference's per-group lr control)."""
+    if clip_norm and clip_norm > 0:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
     count = state.count + 1
     c = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** c

@@ -196,13 +196,20 @@ def main(argv=None):
 
     t0 = time.time()
     best = -1.0
+    metrics_log = (out_dir / 'metrics.jsonl').open('a')
     for step in range(start, total + 1):
         metrics = trainer.train_step(step)
         if step % log_interval == 0 or step == total:
             dt = (time.time() - t0) / max(step - start + 1, 1)
+            loss_f, psnr_f = float(metrics['loss']), float(metrics['psnr'])
             logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f (%.0f ms/step)',
-                         step, total, skcfg.stage_at(step), metrics['loss'],
-                         metrics['psnr'], dt * 1e3)
+                         step, total, skcfg.stage_at(step), loss_f, psnr_f,
+                         dt * 1e3)
+            metrics_log.write(json.dumps(
+                {'step': step, 'stage': skcfg.stage_at(step),
+                 'loss': loss_f, 'psnr': psnr_f,
+                 'ms_per_step': round(dt * 1e3, 1)}) + '\n')
+            metrics_log.flush()
         if step % eval_interval == 0 or step == total:
             result = trainer.evaluate()
             logging.info('eval @%d: PSNR=%.3f SSIM=%.4f', step,
