@@ -122,6 +122,7 @@ class SKGSTrainer:
             key=jax.random.PRNGKey(seed),
             gs_knn_index=jnp.zeros((model.capacity, gs_knn_num), jnp.int32))
         self._step_fns: Dict[str, Callable] = {}
+        self._eval_fns: Dict[str, Callable] = {}
         # optional callback(name) saving a named stage snapshot (the
         # reference saves init.pth / sk_init.pth at stage boundaries)
         self.snapshot_fn: Optional[Callable[[str], None]] = None
@@ -673,17 +674,30 @@ class SKGSTrainer:
             ssims.append(float(ssim_fn(img[..., :3], gt[..., :3])))
         return {'PSNR': float(np.mean(psnrs)), 'SSIM': float(np.mean(ssims))}
 
+    def _render_eval_fn(self, stage: str):
+        """Jitted eval renderer per stage (eager re-trace per view would be
+        dispatch-bound through the TPU tunnel)."""
+        if stage in self._eval_fns:
+            return self._eval_fns[stage]
+        cfg, rcfg = self.cfg, self.rcfg
+
+        @partial(jax.jit, static_argnames=())
+        def fn(model: SKGSModel, view: ViewParams, t, bg):
+            # eval uses t directly; sk stages interpolate cached per-frame
+            # root transforms (reference test-time path, sk_gs.py:1126-1130)
+            out_def = forward_deltas(cfg, model, t, stage, time_id=None)
+            from ..models.gaussian_splatting import gaussian_inputs
+            g = gaussian_inputs(model.gauss_view(), cfg.gauss,
+                                d_xyz=out_def.d_xyz,
+                                d_rotation=out_def.d_rotation,
+                                d_scaling=out_def.d_scaling)
+            out = render(g, view, rcfg,
+                         active_sh_degree=model.active_sh_degree)
+            return composite_background(out['images'], out['opacity'], bg)
+
+        self._eval_fns[stage] = fn
+        return fn
+
     def render_view(self, scene: Scene, i: int, stage: str) -> jnp.ndarray:
-        cfg = self.cfg
-        m = self.state.model
-        # eval uses t directly; sk stages interpolate cached per-frame root
-        # transforms over t (reference test-time path, sk_gs.py:1126-1130)
-        out_def = forward_deltas(cfg, m, scene.times[i], stage, time_id=None)
-        from ..models.gaussian_splatting import gaussian_inputs
-        g = gaussian_inputs(m.gauss_view(), cfg.gauss,
-                            d_xyz=out_def.d_xyz,
-                            d_rotation=out_def.d_rotation,
-                            d_scaling=out_def.d_scaling)
-        out = render(g, scene.view(i), self.rcfg,
-                     active_sh_degree=m.active_sh_degree)
-        return composite_background(out['images'], out['opacity'], self._bg)
+        fn = self._render_eval_fn(stage)
+        return fn(self.state.model, scene.view(i), scene.times[i], self._bg)
