@@ -155,3 +155,42 @@ class TestSPGSSchedule:
         assert not trainer.state.skeleton_initialized  # never entered sk
         res = trainer.evaluate(scene, stage='sp')
         assert np.isfinite(res['PSNR'])
+
+
+class TestMultiCamera:
+    def test_wim_style_multicam_training(self, rng):
+        """Multi-camera scene (several cameras per time id) through the
+        trainer — exercises repeated time_ids in sp_cache writes."""
+        from sk_gs_tpu.data.synthetic import make_synthetic_scene
+        scene, meta, gt = make_synthetic_scene(
+            seed=9, num_links=2, gauss_per_link=40, num_frames=4, h=32, w=32,
+            pair_capacity=2 ** 11, chunk=64)
+        # duplicate every frame from a second camera (orbit shifted)
+        import jax.numpy as jnp
+        s2 = scene._replace(
+            images=jnp.concatenate([scene.images, scene.images[::-1]]),
+            Tw2v=jnp.concatenate([scene.Tw2v, scene.Tw2v[::-1]]),
+            Tv2c=jnp.concatenate([scene.Tv2c, scene.Tv2c[::-1]]),
+            campos=jnp.concatenate([scene.campos, scene.campos[::-1]]),
+            tan_fovx=jnp.concatenate([scene.tan_fovx, scene.tan_fovx]),
+            tan_fovy=jnp.concatenate([scene.tan_fovy, scene.tan_fovy]),
+            times=jnp.concatenate([scene.times, scene.times[::-1]]),
+            time_ids=jnp.concatenate([scene.time_ids, scene.time_ids[::-1]]),
+            camera_ids=jnp.concatenate([
+                jnp.zeros_like(scene.camera_ids),
+                jnp.ones_like(scene.camera_ids)]))
+        cfg = tiny_cfg(meta.num_frames)._replace(
+            train_schedule=(('init_fix', 3), ('init', 7), ('sp_fix', 3),
+                            ('sp', 12)),
+            init_sampling_step=5)
+        rcfg = RasterConfig(image_width=32, image_height=32, sh_degree=1,
+                            pair_capacity=2 ** 11, chunk=64, use_pallas=False)
+        pts = rng.uniform(-1, 1, size=(80, 3)).astype(np.float32)
+        cols = rng.uniform(size=(80, 3)).astype(np.float32)
+        base = init_from_pcd(pts, cols, cfg.gauss)
+        model = sk_gs.init_model(jax.random.PRNGKey(9), cfg, base,
+                                 np.asarray(meta.train_times))
+        trainer = SKGSTrainer(cfg, rcfg, s2, meta, model, pcd=(pts, cols))
+        for step in range(1, cfg.total_steps + 1):
+            m = trainer.train_step(step)
+            assert np.isfinite(float(m['loss']))

@@ -205,6 +205,10 @@ def main(argv=None):
             logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f (%.0f ms/step)',
                          step, total, skcfg.stage_at(step), loss_f, psnr_f,
                          dt * 1e3)
+            if float(metrics.get('overflow', 0.0)) > 0:
+                logging.warning(
+                    'pair capacity overflow at step %d — splats are being '
+                    'dropped; raise raster.pair_capacity', step)
             metrics_log.write(json.dumps(
                 {'step': step, 'stage': skcfg.stage_at(step),
                  'loss': loss_f, 'psnr': psnr_f,
