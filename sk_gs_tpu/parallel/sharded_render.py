@@ -107,3 +107,120 @@ def make_sharded_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs'):
                 'visible': visible, 'overflow': jnp.any(overflow)}
 
     return render_fn
+
+
+# ---------------------------------------------------------------- all-to-all
+
+def _compact_for_band(pre: PreprocessOut, opac: jnp.ndarray, sel: jnp.ndarray,
+                      cap: int):
+    """Stable-compact the selected splats to the front, truncate/pad to
+    ``cap`` rows (attributes stacked as one [cap, 14] feature block:
+    xy(2) conic(3) opacity(1) color(3) depth(1) rect_min(2) rect_max(2))."""
+    order = jnp.argsort(jnp.logical_not(sel), stable=True)
+    n = sel.shape[0]
+    take = order[:cap] if cap <= n else jnp.pad(order, (0, cap - n))
+    ok = sel[take] & (jnp.arange(cap) < jnp.sum(sel))
+    feats = jnp.concatenate([
+        pre.means2d, pre.conic, opac[:, None], pre.colors,
+        pre.depths[:, None],
+        pre.rect_min.astype(jnp.float32),   # 10: x, 11: y (global tiles)
+        pre.rect_max.astype(jnp.float32),   # 12: x, 13: y (exclusive)
+    ], axis=-1)
+    out = feats[take]
+    out = jnp.where(ok[:, None], out, 0.0)
+    out = out.at[:, 9].set(jnp.where(ok, out[:, 9], jnp.inf))  # depth pad
+    return out, jnp.sum(sel)
+
+
+def make_exchange_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs',
+                         send_capacity: int = 0):
+    """Two-phase sharded rasterizer with an all-to-all splat exchange
+    (BASELINE north-star): phase A preprocesses the local Gaussian shard;
+    each splat is routed ONLY to the chips whose tile-row bands its rect
+    overlaps (vs ``make_sharded_render``'s all-gather of everything);
+    phase B re-sorts the received set by depth and blends the local band.
+
+    send_capacity: max splats sent per (src chip, dst chip) pair; default
+    pair_capacity // n_bands.
+    """
+    n_bands = mesh.shape[axis]
+    bcfg = band_config(cfg, n_bands)
+    band_rows = cfg.grid_h // n_bands
+    cap = send_capacity or max(cfg.pair_capacity // n_bands, 1024)
+
+    def render_local(g: GaussianInputs, view: ViewParams):
+        pre = preprocess(g, view, cfg)
+        opac = g.opacities.reshape(-1)
+
+        # route: band range this splat's rect overlaps
+        b0 = pre.rect_min[:, 1] // band_rows
+        b1 = (pre.rect_max[:, 1] - 1) // band_rows
+        sends = []
+        counts = []
+        for d in range(n_bands):
+            sel = pre.visible & (b0 <= d) & (d <= b1)
+            block, cnt = _compact_for_band(pre, opac, sel, cap)
+            sends.append(block)
+            counts.append(cnt)
+        send = jnp.stack(sends)                       # [D, cap, 14]
+        overflow = jnp.any(jnp.stack(counts) > cap)
+
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)         # [D, cap, 14]
+        recv = recv.reshape(-1, send.shape[-1])       # [D*cap, 14]
+
+        # rebuild a band-local PreprocessOut from received features
+        band = jax.lax.axis_index(axis)
+        y0_tile = band * band_rows
+        depths = recv[:, 9]
+        visible = jnp.isfinite(depths)
+        rx0 = recv[:, 10].astype(jnp.int32)
+        ry0 = recv[:, 11].astype(jnp.int32)
+        rx1 = recv[:, 12].astype(jnp.int32)
+        ry1 = recv[:, 13].astype(jnp.int32)
+        # clip the TRUE global rect rows to this band (band-local coords) —
+        # widening to the whole band would leak sub-3-sigma contributions
+        # the single-chip renderer's rect test excludes
+        ly0 = jnp.clip(ry0 - y0_tile, 0, band_rows)
+        ly1 = jnp.clip(ry1 - y0_tile, 0, band_rows)
+        area = (rx1 - rx0) * (ly1 - ly0)
+        visible = visible & (area > 0)
+        y0_px = band.astype(jnp.float32) * (band_rows * TILE)
+        means2d = recv[:, 0:2] - jnp.stack([jnp.zeros_like(y0_px), y0_px])
+        pre_b = PreprocessOut(
+            means2d=means2d,
+            depths=jnp.where(visible, depths, jnp.inf),
+            conic=recv[:, 2:5],
+            colors=recv[:, 6:9],
+            radius=jnp.where(visible, 1, 0).astype(jnp.int32),
+            tiles_touched=jnp.where(visible, area, 0).astype(jnp.int32),
+            rect_min=jnp.stack([rx0, ly0], -1),
+            rect_max=jnp.stack([rx1, ly1], -1),
+            visible=visible,
+        )
+
+        binned = build_tile_lists(pre_b, bcfg)
+        pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+        tile_color, tile_alpha = blend_xla.blend_chunks_scan(
+            binned, pad1(pre_b.means2d), pad1(pre_b.conic),
+            pad1(recv[:, 5]), pad1(pre_b.colors), bcfg)
+        out = blend_xla.assemble_image(tile_color, tile_alpha, bcfg)
+        return out['images'], out['opacity'], overflow
+
+    gspec = GaussianInputs(
+        means3d=P(axis), scales=P(axis), rotations=P(axis), opacities=P(axis),
+        sh=P(axis), colors=None, extras=None, mask=P(axis))
+
+    sharded = shard_map(
+        render_local, mesh=mesh,
+        in_specs=(gspec, P()),
+        out_specs=(P(axis), P(axis), P()),
+        check_rep=False)
+
+    @jax.jit
+    def render_fn(g: GaussianInputs, view: ViewParams):
+        images, opacity, overflow = sharded(g, view)
+        return {'images': images, 'opacity': opacity,
+                'overflow': jnp.any(overflow)}
+
+    return render_fn

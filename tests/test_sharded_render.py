@@ -65,3 +65,45 @@ class TestShardedRender:
             scale = np.abs(b).max() + 1e-8
             np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
                                        err_msg=f'sharded grad mismatch: {name}')
+
+
+class TestExchangeRender:
+    def test_all_to_all_matches_single_chip(self, mesh, rng):
+        from sk_gs_tpu.parallel.sharded_render import make_exchange_render
+        g = build_inputs(rng, 256)
+        view = make_view(w=64, h=64)
+        ref = render(g, view, CFG)
+        fn = make_exchange_render(mesh, CFG)
+        with mesh:
+            out = fn(g, view)
+        assert not bool(out['overflow'])
+        np.testing.assert_allclose(np.asarray(out['images']),
+                                   np.asarray(ref['images']), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out['opacity']),
+                                   np.asarray(ref['opacity']), atol=3e-5)
+
+    def test_all_to_all_gradients(self, mesh, rng):
+        from sk_gs_tpu.parallel.sharded_render import make_exchange_render
+        g = build_inputs(rng, 128)
+        view = make_view(w=64, h=64)
+        tgt = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        fn = make_exchange_render(mesh, CFG)
+
+        def loss_ex(means):
+            gg = g._replace(means3d=means)
+            with mesh:
+                out = fn(gg, view)
+            img = composite_background(out['images'], out['opacity'],
+                                       jnp.ones(3))
+            return jnp.mean(jnp.abs(img - tgt))
+
+        def loss_ref(means):
+            out = render(g._replace(means3d=means), view, CFG)
+            img = composite_background(out['images'], out['opacity'],
+                                       jnp.ones(3))
+            return jnp.mean(jnp.abs(img - tgt))
+
+        ga = np.asarray(jax.grad(loss_ex)(g.means3d))
+        gb = np.asarray(jax.grad(loss_ref)(g.means3d))
+        scale = np.abs(gb).max() + 1e-8
+        np.testing.assert_allclose(ga / scale, gb / scale, atol=5e-4)
