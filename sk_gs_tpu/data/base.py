@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,7 +22,8 @@ from ..render.settings import ViewParams
 
 class Scene(NamedTuple):
     """One split, device-resident."""
-    images: jnp.ndarray        # [F, H, W, 3] float32 in [0,1] (bg composited)
+    images: jnp.ndarray        # [F, H, W, 3|4] float32 in [0,1] (RGBA kept
+                               # for DYNAMIC_BG types, composited in-step)
     Tw2v: jnp.ndarray          # [F, 4, 4]
     Tv2c: jnp.ndarray          # [F, 4, 4]
     campos: jnp.ndarray        # [F, 3]
@@ -58,6 +60,11 @@ class SceneMeta:
     train_times: Optional[np.ndarray] = None  # [num_frames]
 
 
+# background types composited per-step in-graph (reference resamples them
+# per get_image call, base.py:125-170); RGBA is kept in the Scene for these
+DYNAMIC_BG = ('random', 'random2', 'reference', 'checker')
+
+
 def solid_background(background_type: str) -> Optional[np.ndarray]:
     if background_type == 'white':
         return np.ones(3, np.float32)
@@ -65,7 +72,34 @@ def solid_background(background_type: str) -> Optional[np.ndarray]:
         return np.zeros(3, np.float32)
     if background_type == 'none':
         return None
+    if background_type in DYNAMIC_BG:
+        return None
     raise NotImplementedError(f"background {background_type}")
+
+
+def image_checkerboard(h: int, w: int, size: int = 8) -> np.ndarray:
+    """[H, W, 3] gray/white checkerboard (utils.image_checkerboard used by
+    the 'checker' background, reference base.py:165-166)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    cells = ((yy // size + xx // size) % 2).astype(np.float32)
+    return np.repeat((0.5 + 0.5 * cells)[..., None], 3, axis=-1)
+
+
+def sample_background(background_type: str, key, h: int, w: int,
+                      checker=None, reference_rgb=None) -> jnp.ndarray:
+    """jit-safe per-step background (get_background semantics,
+    reference base.py:125-144): 'random' = per-pixel uniform RGB,
+    'random2' = one uniform color, 'reference' = the GT RGB itself,
+    'checker' = the static checkerboard array."""
+    if background_type == 'random':
+        return jax.random.uniform(key, (h, w, 3))
+    if background_type == 'random2':
+        return jnp.broadcast_to(jax.random.uniform(key, (1, 1, 3)), (h, w, 3))
+    if background_type == 'reference':
+        return reference_rgb
+    if background_type == 'checker':
+        return checker
+    raise NotImplementedError(f"dynamic background {background_type}")
 
 
 def build_scene(images: np.ndarray, Tv2w: np.ndarray, fovx: float,
@@ -89,12 +123,17 @@ def build_scene(images: np.ndarray, Tv2w: np.ndarray, fovx: float,
     campos = Tv2w[:, :3, 3].astype(np.float32)
 
     bg = solid_background(meta.background_type)
-    if images.shape[-1] == 4:
+    dynamic = meta.background_type in DYNAMIC_BG
+    if images.shape[-1] == 4 and not dynamic:
         alpha = images[..., 3:4]
         rgb = images[..., :3]
         if bg is not None:
             rgb = rgb * alpha + bg * (1.0 - alpha)
         images = rgb
+    if meta.background_type == 'checker':
+        meta.background = image_checkerboard(h, w)
+    elif not dynamic:
+        meta.background = bg
 
     _, diag = tf.get_center_and_diag(campos)
     meta.cameras_extent = diag * 1.1

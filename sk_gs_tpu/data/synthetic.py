@@ -127,6 +127,8 @@ def make_synthetic_scene(seed: int = 0, num_links: int = 3,
     Tv2c = np.asarray(tf.perspective_opencv(
         jnp.asarray(fovy, jnp.float32), size=(w, h), n=meta.near, f=meta.far))
     images = []
+    from .base import DYNAMIC_BG
+    dynamic = background in DYNAMIC_BG
     bg = jnp.ones(3) if background == 'white' else jnp.zeros(3)
 
     @jax.jit
@@ -135,6 +137,12 @@ def make_synthetic_scene(seed: int = 0, num_links: int = 3,
                           tan_fovx=jnp.asarray(np.tan(fovx / 2), jnp.float32),
                           tan_fovy=jnp.asarray(np.tan(fovy / 2), jnp.float32))
         out = render(g, view, cfg)
+        if dynamic:
+            # emit unpremultiplied RGBA so the trainer composites the true
+            # rendered scene over its per-step background
+            a = out['opacity']
+            rgb = out['images'] / jnp.clip(a, 1e-6, 1.0)[..., None]
+            return jnp.concatenate([rgb, a[..., None]], axis=-1)
         return composite_background(out['images'], out['opacity'], bg)
 
     for f in range(num_frames):

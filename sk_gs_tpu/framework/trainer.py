@@ -325,7 +325,18 @@ class SKGSTrainer:
             noise_scale = sched[1]
             lw = {name: sched[2 + i] for i, name in enumerate(LW_NAMES)}
             lrs = self.lr_trees_traced(s_rel)
-            k_noise, k_other = jax.random.split(key)
+            k_noise, k_other, k_bg = jax.random.split(key, 3)
+            if image.shape[-1] == 4:
+                # dynamic background: target composited in-graph per step
+                # against the SAME bg the render uses (get_background
+                # semantics, reference datasets/base.py:125-144)
+                from ..data.base import sample_background
+                h_img, w_img = image.shape[0], image.shape[1]
+                bg = sample_background(
+                    self.meta.background_type, k_bg, h_img, w_img,
+                    checker=bg, reference_rgb=image[..., :3])
+                alpha_t = image[..., 3:4]
+                image = image[..., :3] * alpha_t + bg * (1.0 - alpha_t)
 
             def loss_fn(params, m2d_off):
                 m = model._replace(params=params)
@@ -670,6 +681,11 @@ class SKGSTrainer:
         for i in range(scene.num_views):
             img = self.render_view(scene, i, stage)
             gt = scene.images[i]
+            if gt.shape[-1] == 4:
+                # dynamic-bg split keeps RGBA; composite against the static
+                # fallback bg (checker image / black) for deterministic eval
+                a = gt[..., 3:4]
+                gt = gt[..., :3] * a + self._bg * (1.0 - a)
             psnrs.append(float(psnr(img, gt)))
             ssims.append(float(ssim_fn(img[..., :3], gt[..., :3])))
         return {'PSNR': float(np.mean(psnrs)), 'SSIM': float(np.mean(ssims))}
