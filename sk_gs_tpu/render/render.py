@@ -79,3 +79,17 @@ def composite_background(images: jnp.ndarray, opacity: jnp.ndarray,
     bg = jnp.asarray(background, images.dtype)
     return images + (1.0 - opacity)[..., None] * jnp.broadcast_to(
         bg, images.shape)
+
+
+def mark_visible(means3d: jnp.ndarray, view: ViewParams,
+                 near: float = 0.2) -> jnp.ndarray:
+    """Frustum-culling mask for points — the reference's
+    ``GaussianRasterizer.markVisible`` (/root/reference/networks/renderer/
+    gaussian_render.py:227-233, CUDA markVisible in
+    gaussian_rasterizer_imp.cu). Matches the rasterizer's own cull: a point
+    is visible when its view-space depth exceeds ``near``.
+    """
+    ones = jnp.ones((*means3d.shape[:-1], 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+    p_view = hom @ view.Tw2v.T
+    return p_view[..., 2] > near
