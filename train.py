@@ -132,6 +132,44 @@ def build_model_cfg(cfg, meta, image_size):
     return skcfg, rcfg
 
 
+
+def device_memory_mb():
+    """Peak device memory in MB (TPU equivalent of the reference's
+    torch.cuda.max_memory_allocated hook, train.py:152-155). Returns 0
+    when the backend doesn't report (CPU)."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            return stats.get('peak_bytes_in_use',
+                             stats.get('bytes_in_use', 0)) / 2 ** 20
+    except Exception:
+        pass
+    return 0.0
+
+
+def save_vis_triplet(trainer, vis_dir, step):
+    """pred | gt | x5 diff strip for eval view 0 (reference train.py:214-222
+    periodic vis images)."""
+    from pathlib import Path
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    scene = trainer.eval_scene or trainer.scene
+    stage = trainer.cfg.stage_at(max(step, 1))
+    img = np.asarray(trainer.render_view(scene, 0, stage))
+    gt = np.asarray(scene.images[0])
+    if gt.shape[-1] == 4:
+        gt = gt[..., :3] * gt[..., 3:4] + np.asarray(trainer._bg) \
+            * (1.0 - gt[..., 3:4])
+    diff = np.clip(np.abs(img - gt) * 5.0, 0, 1)
+    strip = np.concatenate([np.clip(img, 0, 1), gt, diff], axis=1)
+    Path(vis_dir).mkdir(parents=True, exist_ok=True)
+    Image.fromarray((strip * 255).astype(np.uint8)).save(
+        Path(vis_dir) / f'step_{step:07d}.png')
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('-c', '--config', required=True)
@@ -139,6 +177,9 @@ def main(argv=None):
     parser.add_argument('--steps', type=int, default=None,
                         help='override total steps (truncate schedule)')
     parser.add_argument('--resume', type=str, default=None)
+    parser.add_argument('--profile', type=int, default=0,
+                        help='capture a jax.profiler trace for N steps '
+                             '(starting after the first eval warmup)')
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -197,14 +238,35 @@ def main(argv=None):
     t0 = time.time()
     best = -1.0
     metrics_log = (out_dir / 'metrics.jsonl').open('a')
+    vis_interval = int(cfg['train'].get('vis_interval', 0))
+    # jax.profiler window (TPU equivalent of the reference's manual
+    # TimeWatcher phase timing, my_ext/utils/time_estimator.py:70)
+    prof_start = start + 20 if args.profile else -1
+    prof_end = prof_start + args.profile
     for step in range(start, total + 1):
+        if step == prof_start:
+            jax.profiler.start_trace(str(out_dir / 'profile'))
+            logging.info('profiler trace started (%d steps)', args.profile)
         metrics = trainer.train_step(step)
+        if step == prof_end:
+            jax.block_until_ready(trainer.state.model.params['xyz'])
+            jax.profiler.stop_trace()
+            logging.info('profiler trace written to %s', out_dir / 'profile')
         if step % log_interval == 0 or step == total:
             dt = (time.time() - t0) / max(step - start + 1, 1)
             loss_f, psnr_f = float(metrics['loss']), float(metrics['psnr'])
             logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f (%.0f ms/step)',
                          step, total, skcfg.stage_at(step), loss_f, psnr_f,
                          dt * 1e3)
+            if not np.isfinite(loss_f):
+                # NaN/Inf abort with a crash dump (reference
+                # my_ext/framework.py:275-279 loss-check)
+                ckpt.save({'model': trainer.state.model,
+                           'opt': trainer.state.opt_state}, step,
+                          force=True, name='crash.npz', manage=False)
+                raise FloatingPointError(
+                    f'non-finite loss {loss_f} at step {step} '
+                    f'(stage {skcfg.stage_at(step)}); crash.npz saved')
             if float(metrics.get('overflow', 0.0)) > 0:
                 logging.warning(
                     'pair capacity overflow at step %d — splats are being '
@@ -214,10 +276,14 @@ def main(argv=None):
                  'loss': loss_f, 'psnr': psnr_f,
                  'ms_per_step': round(dt * 1e3, 1)}) + '\n')
             metrics_log.flush()
+        if vis_interval and (step % vis_interval == 0 or step == total):
+            save_vis_triplet(trainer, out_dir / 'vis', step)
         if step % eval_interval == 0 or step == total:
             result = trainer.evaluate()
-            logging.info('eval @%d: PSNR=%.3f SSIM=%.4f', step,
-                         result['PSNR'], result['SSIM'])
+            mem = device_memory_mb()
+            logging.info('eval @%d: PSNR=%.3f SSIM=%.4f%s', step,
+                         result['PSNR'], result['SSIM'],
+                         f' mem={mem:.0f}MB' if mem else '')
             if result['PSNR'] > best:
                 best = result['PSNR']
                 ckpt.save({'model': trainer.state.model,
