@@ -28,6 +28,7 @@ def arap_connectivity(points: jnp.ndarray, mask: jnp.ndarray, k: int = 10,
     Returns (nn_idx [M, K], weight [M, K], edge_mask [M, K]); edges beyond
     ``radius`` are dropped except the first ``least_edge_num``.
     """
+    k = min(k, points.shape[0] - 1)  # tiny-M clamp (SC_GS_arap_loss.py:25)
     d2 = jnp.sum(jnp.square(points[:, None] - points[None]), axis=-1)
     d2 = jnp.where(mask[None, :], d2, jnp.inf)
     d2 = jnp.where(jnp.eye(points.shape[0], dtype=bool), jnp.inf, d2)
@@ -36,13 +37,34 @@ def arap_connectivity(points: jnp.ndarray, mask: jnp.ndarray, k: int = 10,
     col = jnp.arange(k)[None, :]
     keep = (col < least_edge_num) | (nn_dist < radius * radius)
     keep = keep & mask[:, None] & jnp.isfinite(nn_dist)
-    nn_dist = jnp.where(keep, nn_dist, jnp.inf)
-    mean_d = jnp.sum(jnp.where(keep, nn_dist, 0.0)) / jnp.maximum(
-        jnp.sum(keep), 1.0)
-    w = jnp.exp(-nn_dist / jnp.maximum(mean_d, 1e-8))
+    # zero (not inf) the dropped entries before exp: exp(-inf/c) is 0 in
+    # the forward but its gradient w.r.t. c is inf*0 = NaN
+    nd = jnp.where(keep, nn_dist, 0.0)
+    mean_d = jnp.sum(nd) / jnp.maximum(jnp.sum(keep), 1.0)
+    w = jnp.exp(-nd / jnp.maximum(mean_d, 1e-8))
     w = jnp.where(keep, w, 0.0)
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
     return nn_idx, w, keep
+
+
+@jax.custom_jvp
+def _procrustes_rotations(S: jnp.ndarray) -> jnp.ndarray:
+    u, _, vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(jnp.einsum('mij,mjk->mik',
+                                    jnp.swapaxes(vt, 1, 2),
+                                    jnp.swapaxes(u, 1, 2)))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    return jnp.einsum('mji,mj,mkj->mik', vt, d, u)  # V diag(d) U^T
+
+
+@_procrustes_rotations.defjvp
+def _procrustes_rotations_jvp(primals, tangents):
+    # zero tangent: severs autodiff entirely. stop_gradient alone is NOT
+    # enough — the SVD vjp still evaluates 1/(sigma_i^2 - sigma_j^2) terms
+    # that go inf*0=NaN for repeated singular values, which always happens
+    # at init when trajectories are near-rigid.
+    R = _procrustes_rotations(primals[0])
+    return R, jnp.zeros_like(R)
 
 
 def _best_fit_rotations(e0: jnp.ndarray, et: jnp.ndarray, w: jnp.ndarray
@@ -50,14 +72,7 @@ def _best_fit_rotations(e0: jnp.ndarray, et: jnp.ndarray, w: jnp.ndarray
     """Per-node Procrustes rotation R minimizing sum_k w_k |e_t - R e_0|^2
     (estimate_rotation; gradient-stopped as in the reference)."""
     S = jnp.einsum('mk,mki,mkj->mij', w, e0, et)  # [M, 3, 3]
-    S = jax.lax.stop_gradient(S)
-    u, _, vt = jnp.linalg.svd(S)
-    det = jnp.linalg.det(jnp.einsum('mij,mjk->mik',
-                                    jnp.swapaxes(vt, 1, 2),
-                                    jnp.swapaxes(u, 1, 2)))
-    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.einsum('mji,mj,mkj->mik', vt, d, u)  # V diag(d) U^T
-    return jax.lax.stop_gradient(R)
+    return _procrustes_rotations(jax.lax.stop_gradient(S))
 
 
 def arap_error(nodes_seq: jnp.ndarray, nn_idx: jnp.ndarray, w: jnp.ndarray
