@@ -36,7 +36,7 @@ log = logging.getLogger(__name__)
 
 LW_NAMES = ('image', 'ssim', 'sparse', 'smooth', 'joint', 'joint_all',
             'c_net', 'cmp_p', 'cmp_t', 'cmp_r', 'cmp_s', 'elastic', 'acc',
-            'arap')
+            'arap', 're_pos', 'jp_dist', 'sp_arap_t', 'sp_arap_ct', 'arap_p')
 
 
 def expon_lr_traced(s, lr_init, lr_final, lr_delay_mult, max_steps):
@@ -103,7 +103,9 @@ class SKGSTrainer:
                  gs_knn_num: int = 20,
                  gs_knn_update_interval: Tuple[int, int] = (1000, 3000),
                  sampler=None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 clip_norm: float = 0.0,
+                 batch_views: int = 1):
         self.cfg = cfg
         self.rcfg = rcfg
         self.scene = scene
@@ -117,6 +119,10 @@ class SKGSTrainer:
             'cmp_s': 0.01})
         self.gs_knn_num = gs_knn_num
         self.gs_knn_update_interval = gs_knn_update_interval
+        # reference --grad-clip / nominal-batch-size grad accumulation
+        # (my_ext/framework.py:264-306, my_ext/trainer.py:21-47)
+        self.clip_norm = clip_norm
+        self.batch_views = batch_views
         self.state = TrainerState(
             model=model, opt_state=optim.adam_init(model.params),
             key=jax.random.PRNGKey(seed),
@@ -245,14 +251,114 @@ class SKGSTrainer:
                      and cfg.use_canonical_net
                      and self.loss_w.ever_nonzero('c_net'))
 
+        with_sp_extras = (family == 'sp' and any(
+            self.loss_w.ever_nonzero(n)
+            for n in ('re_pos', 'jp_dist', 'sp_arap_t', 'sp_arap_ct')))
+        with_guided = (family == 'sp' and cfg.guided_step_start >= 0
+                       and any(self.loss_w.ever_nonzero(n)
+                               for n in ('cmp_t', 'cmp_r', 'cmp_s')))
+        with_arap_p = (family == 'init'
+                       and self.loss_w.ever_nonzero('arap_p'))
+
+        def sp_extra_losses(params, m, aux, points_t, a, b, is_root, lw):
+            """Optional sp-stage regularizers (all weight-0 by default in the
+            reference too): re_pos = loss_reconstruct (sk_gs.py:1489-1499),
+            jp_dist (sk_gs.py:1560-1566), sp_arap_t/sp_arap_ct = loss_sp_arap
+            (sk_gs.py:1371-1383)."""
+            from ..ops import se3
+            out = {}
+            spT = aux['spT']
+            sp_pts = params['sp_points'][..., :3]
+            alive = m.sp_alive
+            if self.loss_w.ever_nonzero('re_pos'):
+                re_sp = superpoints.get_superpoint_features(
+                    points_t, aux['knn_i'], aux['knn_w'],
+                    cfg.num_superpoints)
+                sp_t = se3.se3_act(spT, sp_pts)
+                out['re_pos'] = lw['re_pos'] * masked_mean(
+                    jnp.square(sp_t - re_sp), alive[:, None])
+            if self.loss_w.ever_nonzero('jp_dist'):
+                sp_t = jax.lax.stop_gradient(se3.se3_act(spT, sp_pts))
+                piv = params['joint_pos'][a, b]          # [M, 3] pivots
+                joints_w = se3.se3_act(spT[b], piv)
+                mask_j = alive & ~is_root
+                out['jp_dist'] = lw['jp_dist'] * (
+                    masked_mean(jnp.square(joints_w - sp_t[a]),
+                                mask_j[:, None])
+                    + masked_mean(jnp.square(joints_w - sp_t[b]),
+                                  mask_j[:, None]))
+            if self.loss_w.ever_nonzero('sp_arap_t') or \
+                    self.loss_w.ever_nonzero('sp_arap_ct'):
+                sp_c = jax.lax.stop_gradient(sp_pts)
+                _, knn = superpoints.masked_knn(
+                    sp_c, sp_c, alive, cfg.sk_knn_num + 1)
+                knn = knn[:, 1:]                          # drop self
+                rel = se3.se3_mul(se3.se3_inv(spT[:, None]), spT[knn])
+                pair_alive = alive[:, None] & alive[knn]
+                out['sp_arap_t'] = lw['sp_arap_t'] * masked_mean(
+                    jnp.sqrt(jnp.sum(jnp.square(se3.se3_log(rel)), -1)
+                             + 1e-12), pair_alive)
+                sp_t = se3.se3_act(spT, sp_c)
+                d_c = jnp.sum(jnp.square(sp_c[:, None] - sp_c[knn]), -1)
+                d_t = jnp.sum(jnp.square(sp_t[:, None] - sp_t[knn]), -1)
+                out['sp_arap_ct'] = lw['sp_arap_ct'] * masked_mean(
+                    jnp.abs(d_c - d_t), pair_alive)
+            return out
+
+        def guided_losses(params, m, aux, t, s_rel, lw):
+            """sp-stage skeleton warmup: drive the sk net + FK toward the
+            superpoint transforms (loss_guided_sp, sk_gs.py:1438-1454),
+            gated on global step > guided_step_start."""
+            from ..models.deform import skeleton_net_apply
+            from ..ops import quaternion as quat
+            from ..ops import se3
+            sp_tr = jax.lax.stop_gradient(aux['spT'])
+            sp_rot = jax.lax.stop_gradient(aux['sp_rot'])
+            sp_scale = jax.lax.stop_gradient(aux['sp_scale'])
+            a = jnp.arange(cfg.num_superpoints)
+            b = m.joint_parents[:, 0]
+            joints = params['joint_pos'][a, b]
+            sk_r, sk_d_rot, sk_d_scale = skeleton_net_apply(
+                params['sk_deform'], cfg.sk_net, joints, t)
+            if sk_r.shape[-1] == 4:
+                sk_r = quat.normalize(sk_r + sk_gs.ROT_BIAS)
+            else:
+                sk_r = se3.so3_exp(sk_r)
+            sk_T = skeleton.kinematic_transforms(
+                joints, sk_r, sp_tr[m.joint_root], m.joint_parents,
+                m.joint_root)
+            rel = se3.se3_mul(se3.se3_inv(sp_tr), sk_T)
+            gate = (s_rel + cfg.stages['sp_fix'][0]
+                    > cfg.guided_step_start).astype(jnp.float32)
+            alive = m.sp_alive
+            return {
+                'g_cmp_t': gate * lw['cmp_t'] * masked_mean(
+                    jnp.sqrt(jnp.sum(jnp.square(se3.se3_log(rel)), -1)
+                             + 1e-12), alive),
+                'g_cmp_r': gate * lw['cmp_r'] * masked_mean(
+                    jnp.square(sk_d_rot - sp_rot), alive[:, None]),
+                'g_cmp_s': gate * lw['cmp_s'] * masked_mean(
+                    jnp.square(sk_d_scale - sp_scale), alive[:, None]),
+            }
+
         def motion_reg_losses(losses, params, m, t, lw, key):
             """elastic / acc / arap on superpoint (or sampled point)
-            trajectories (loss_elastic/acc/arap, sk_gs.py:1385-1436)."""
+            trajectories (loss_elastic/acc/arap, sk_gs.py:1385-1436). At the
+            init stage superpoints don't exist yet — the reference samples
+            num_superpoints random gaussians instead (loss(), sk_gs.py:
+            1539-1547); sp stage uses the superpoints themselves."""
             from ..models import regularizers as reg
             from ..models.deform import deform_net_apply
-            sp_pts = jax.lax.stop_gradient(params['sp_points'][..., :3])
-            mask = m.sp_alive
-            k1, k2, k3 = jax.random.split(key, 3)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            if family == 'init':
+                r = jax.random.uniform(k4, (m.capacity,)) \
+                    + jnp.where(m.alive, 0.0, 1e9)
+                idx = jnp.argsort(r)[:cfg.num_superpoints]
+                sp_pts = jax.lax.stop_gradient(params['xyz'][idx])
+                mask = m.alive[idx]
+            else:
+                sp_pts = jax.lax.stop_gradient(params['sp_points'][..., :3])
+                mask = m.sp_alive
             dt = cfg.time_interval
             tq = t.reshape(())
 
@@ -326,19 +432,24 @@ class SKGSTrainer:
             lw = {name: sched[2 + i] for i, name in enumerate(LW_NAMES)}
             lrs = self.lr_trees_traced(s_rel)
             k_noise, k_other, k_bg = jax.random.split(key, 3)
-            if image.shape[-1] == 4:
-                # dynamic background: target composited in-graph per step
-                # against the SAME bg the render uses (get_background
-                # semantics, reference datasets/base.py:125-144)
-                from ..data.base import sample_background
-                h_img, w_img = image.shape[0], image.shape[1]
-                bg = sample_background(
-                    self.meta.background_type, k_bg, h_img, w_img,
-                    checker=bg, reference_rgb=image[..., :3])
-                alpha_t = image[..., 3:4]
-                image = image[..., :3] * alpha_t + bg * (1.0 - alpha_t)
+            # grad accumulation (reference nominal-batch-size,
+            # my_ext/framework.py:264-306): stacked [K, ...] sample inputs
+            batched = view.Tw2v.ndim == 3
 
-            def loss_fn(params, m2d_off):
+            def loss_fn(params, m2d_off, view, image, t, time_id, k_noise,
+                        k_bg):
+                bg_s = bg
+                if image.shape[-1] == 4:
+                    # dynamic background: target composited in-graph per
+                    # sample against the SAME bg the render uses
+                    # (get_background semantics, datasets/base.py:125-144)
+                    from ..data.base import sample_background
+                    h_img, w_img = image.shape[0], image.shape[1]
+                    bg_s = sample_background(
+                        self.meta.background_type, k_bg, h_img, w_img,
+                        checker=bg, reference_rgb=image[..., :3])
+                    alpha_t = image[..., 3:4]
+                    image = image[..., :3] * alpha_t + bg_s * (1.0 - alpha_t)
                 m = model._replace(params=params)
                 out_def = forward_deltas(cfg, m, t, stage, time_id=time_id,
                                          key=k_noise, noise_scale=noise_scale)
@@ -365,7 +476,8 @@ class SKGSTrainer:
                 out = render(g, view, rcfg,
                              active_sh_degree=m.active_sh_degree,
                              means2d_offset=m2d_off)
-                img = composite_background(out['images'], out['opacity'], bg)
+                img = composite_background(out['images'], out['opacity'],
+                                           bg_s)
 
                 img_loss = mse_loss if image_method == 'mse' else l1_loss
                 losses = {
@@ -397,6 +509,13 @@ class SKGSTrainer:
                     losses['joint_all'] = lw['joint_all'] * masked_mean(
                         cost_f, alive2)
                     aux['joint_cost_now'] = jax.lax.stop_gradient(cost_f)
+                    if with_sp_extras:
+                        losses.update(sp_extra_losses(
+                            params, m, aux, p['xyz'] + out_def.d_xyz,
+                            a, b, is_root, lw))
+                    if with_guided:
+                        losses.update(guided_losses(params, m, aux, t,
+                                                    s_rel, lw))
                 if stage == 'sk_init':
                     # distill vs cached sp motion (loss_guided_sk_v2,
                     # sk_gs.py:1467-1487)
@@ -420,6 +539,21 @@ class SKGSTrainer:
                     losses['cmp_s'] = lw['cmp_s'] * jnp.mean(
                         jnp.square(out_def.d_scaling - sp_scale_b))
 
+                if with_arap_p:
+                    # p_arap_ct_init: KNN-distance preservation on the warped
+                    # gaussians (loss_points_arap, sk_gs.py:1361-1369); dead
+                    # capacity rows are banished far away so they never enter
+                    # an alive point's neighborhood
+                    from ..models import regularizers as reg
+                    from ..ops.knn import knn as knn_op
+                    pts_t = p['xyz'] + out_def.d_xyz
+                    far = jnp.where(m.alive[:, None], pts_t,
+                                    pts_t + 1e6)
+                    _, nn_idx = knn_op(jax.lax.stop_gradient(far),
+                                       jax.lax.stop_gradient(far),
+                                       self.gs_knn_num + 1)
+                    losses['arap_p'] = lw['arap_p'] * reg.points_arap_loss(
+                        p['xyz'], pts_t, nn_idx[:, 1:], m.alive)
                 if with_motion_reg:
                     losses = motion_reg_losses(losses, params, m, t, lw,
                                                k_other)
@@ -435,40 +569,78 @@ class SKGSTrainer:
                 return total, aux
 
             m2d_off = jnp.zeros((model.capacity, 2))
-            (total, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(model.params, m2d_off)
-            pgrads, m2d_grad = grads
-            new_params, new_opt = optim.adam_update(pgrads, opt_state,
-                                                    model.params, lrs)
+            vgrad = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+            if not batched:
+                (total, aux), grads = vgrad(model.params, m2d_off, view,
+                                            image, t, time_id, k_noise, k_bg)
+                pgrads, m2d_grad = grads
+                aux_k = jax.tree.map(lambda x: x[None], aux)
+                time_ids = time_id[None]
+            else:
+                K = view.Tw2v.shape[0]
+                kns = jax.random.split(k_noise, K)
+                kbs = jax.random.split(k_bg, K)
+
+                def body(carry, inp):
+                    view_i, image_i, t_i, tid_i, kn_i, kb_i = inp
+                    (tot_i, aux_i), (pg_i, mg_i) = vgrad(
+                        model.params, m2d_off, view_i, image_i, t_i, tid_i,
+                        kn_i, kb_i)
+                    acc_t, acc_pg, acc_mg = carry
+                    acc_pg = jax.tree.map(jnp.add, acc_pg, pg_i)
+                    return (acc_t + tot_i, acc_pg, acc_mg + mg_i), aux_i
+
+                zeros = (jnp.zeros(()),
+                         jax.tree.map(jnp.zeros_like, model.params),
+                         m2d_off)
+                (tot_sum, pg_sum, mg_sum), aux_k = jax.lax.scan(
+                    body, zeros, (view, image, t, time_id, kns, kbs))
+                total = tot_sum / K
+                pgrads = jax.tree.map(lambda x: x / K, pg_sum)
+                m2d_grad = mg_sum / K
+                aux = jax.tree.map(lambda x: x[-1], aux_k)
+                time_ids = time_id
+            new_params, new_opt = optim.adam_update(
+                pgrads, opt_state, model.params, lrs,
+                clip_norm=self.clip_norm)
             model = model._replace(params=new_params)
-            model = model._replace(**_stats_update(model, aux, m2d_grad))
+            model = model._replace(**_stats_update(model, aux_k, m2d_grad))
             if update_cache and 'cache_row' in aux:
                 model = model._replace(
-                    sp_cache=model.sp_cache.at[time_id].set(
-                        jax.lax.stop_gradient(aux['cache_row'])))
+                    sp_cache=model.sp_cache.at[time_ids].set(
+                        jax.lax.stop_gradient(aux_k['cache_row'])))
             if update_cache and cfg.warp_method == 'largest' and 'p2sp' in aux:
                 model = model._replace(
                     p2sp=jax.lax.stop_gradient(aux['p2sp']))
             if 'joint_cost_now' in aux:
+                cost_mean = jnp.mean(aux_k['joint_cost_now'], axis=0)
                 new_cost = model.joint_cost * cfg.sk_momentum \
-                    + aux['joint_cost_now'] * (1 - cfg.sk_momentum)
+                    + cost_mean * (1 - cfg.sk_momentum)
                 model = model._replace(joint_cost=new_cost)
-            metrics = {'loss': total, 'psnr': aux['psnr'],
-                       'overflow': aux['overflow'],
-                       **{k: v for k, v in aux['losses'].items()}}
+            metrics = {'loss': total,
+                       'psnr': jnp.mean(aux_k['psnr']),
+                       'overflow': jnp.any(aux_k['overflow']),
+                       **{k: jnp.mean(v)
+                          for k, v in aux_k['losses'].items()}}
             return model, new_opt, metrics
 
-        def _stats_update(model, aux, m2d_grad):
-            seen = aux['radii'] > 0
+        def _stats_update(model, aux_k, m2d_grad):
+            # aux_k holds stacked [K, ...] per-sample stats; the mean
+            # means2d grad stands in for the per-backward accumulation
+            seen_k = aux_k['radii'] > 0                      # [K, N]
+            seen = jnp.any(seen_k, axis=0)
+            radii_max = jnp.max(aux_k['radii'], axis=0)
             max_r = jnp.where(seen, jnp.maximum(
-                model.max_radii2d, aux['radii'].astype(jnp.float32)),
+                model.max_radii2d, radii_max.astype(jnp.float32)),
                 model.max_radii2d)
-            gnorm = jnp.linalg.norm(m2d_grad[:, :2], axis=-1)
+            gnorm = jnp.sqrt(jnp.sum(jnp.square(m2d_grad[:, :2]), -1)
+                             + 1e-24)
+            n_seen = jnp.sum(seen_k, axis=0).astype(jnp.float32)
             return {
                 'max_radii2d': max_r,
                 'xyz_grad_accum': jnp.where(
                     seen, model.xyz_grad_accum + gnorm, model.xyz_grad_accum),
-                'denom': jnp.where(seen, model.denom + 1.0, model.denom),
+                'denom': model.denom + n_seen,
             }
 
         return train_step
@@ -640,11 +812,20 @@ class SKGSTrainer:
             self.update_gs_knn(step)
 
         st.key, k_step = jax.random.split(st.key)
-        vidx = self.sampler.sample(step)
-        view = self.scene.view(vidx)
-        image = self.scene.images[vidx]
-        t = self.scene.times[vidx]
-        time_id = self.scene.time_ids[vidx]
+        if self.batch_views > 1:
+            idxs = np.asarray([self.sampler.sample(step)
+                               for _ in range(self.batch_views)])
+            view = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[self.scene.view(i) for i in idxs])
+            image = self.scene.images[idxs]
+            t = self.scene.times[idxs]
+            time_id = self.scene.time_ids[idxs]
+        else:
+            vidx = self.sampler.sample(step)
+            view = self.scene.view(vidx)
+            image = self.scene.images[vidx]
+            t = self.scene.times[vidx]
+            time_id = self.scene.time_ids[vidx]
 
         noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
         sched = jnp.asarray(

@@ -216,7 +216,9 @@ def main(argv=None):
     trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
                           loss_weights=LossWeights(cfg.get('loss', {})),
                           eval_scene=eval_scene, pcd=(pts, cols),
-                          seed=int(cfg['train'].get('seed', 0)))
+                          seed=int(cfg['train'].get('seed', 0)),
+                          clip_norm=float(cfg['train'].get('clip_norm', 0.0)),
+                          batch_views=int(cfg['train'].get('batch_views', 1)))
     ckpt = CheckpointManager(out_dir / 'checkpoints',
                              interval=int(cfg['train'].get('checkpoint_interval', 5000)))
     trainer.snapshot_fn = lambda name: ckpt.save(
@@ -255,9 +257,11 @@ def main(argv=None):
         if step % log_interval == 0 or step == total:
             dt = (time.time() - t0) / max(step - start + 1, 1)
             loss_f, psnr_f = float(metrics['loss']), float(metrics['psnr'])
-            logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f (%.0f ms/step)',
+            eta = dt * (total - step)
+            logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f '
+                         '(%.0f ms/step, eta %dm%02ds)',
                          step, total, skcfg.stage_at(step), loss_f, psnr_f,
-                         dt * 1e3)
+                         dt * 1e3, int(eta // 60), int(eta % 60))
             if not np.isfinite(loss_f):
                 # NaN/Inf abort with a crash dump (reference
                 # my_ext/framework.py:275-279 loss-check)
