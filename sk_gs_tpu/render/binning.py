@@ -99,9 +99,19 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     ty = ry + local // rw
     tile_id = jnp.where(valid, ty * cfg.grid_w + tx, T).astype(jnp.int32)
 
-    # 3. stable sort by tile id (depth order preserved within tile)
-    tile_sorted, gs_sorted = jax.lax.sort(
-        (tile_id, gs), num_keys=1, is_stable=True)
+    # 3. stable sort by tile id (depth order preserved within tile).
+    #    gs IS the depth rank and each gaussian hits a tile at most once, so
+    #    sorting the fused key (tile << shift | gs) gives the identical
+    #    stable order with HALF the sort bytes (one i32 array, no payload).
+    shift = max(1, (n + 1).bit_length())
+    if (T + 1) << shift <= 2 ** 31 - 1:
+        key = (tile_id << shift) | gs
+        key_sorted = jax.lax.sort(key)
+        tile_sorted = (key_sorted >> shift).astype(jnp.int32)
+        gs_sorted = (key_sorted & ((1 << shift) - 1)).astype(jnp.int32)
+    else:  # huge scenes: fall back to the key+payload sort
+        tile_sorted, gs_sorted = jax.lax.sort(
+            (tile_id, gs), num_keys=1, is_stable=True)
 
     # 4. per-tile counts / starts via binary search over the sorted tile ids
     #    (scatter-free: TPU scatters serialize, gathers ride the VPU)
