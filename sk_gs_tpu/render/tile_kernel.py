@@ -156,7 +156,10 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
         color_ref[:] = jnp.zeros_like(color_ref)
         alpha_ref[:] = jnp.zeros_like(alpha_ref)
 
-    @pl.when(start | (jnp.max(t_run[:]) >= T_EPS))
+    # skip the math for saturated tiles AND for pure-padding chunks
+    # (chunk_valid == 0): the grid is statically sized to the padded
+    # capacity, so the tail past the real pair count is all padding
+    @pl.when((sv_ref[i] > 0) & (start | (jnp.max(t_run[:]) >= T_EPS)))
     def _():
         feat = feat_buf[i % 2]
         px, py = _pixel_coords(tile, grid_w)
@@ -202,8 +205,10 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
         c_run[:] = jnp.zeros_like(c_run)
 
     # saturated fast path: once every pixel's transmittance is cut, all
-    # remaining entries of this tile have zero gradient — just emit zeros
-    live = start | (jnp.max(t_run[:]) >= T_EPS)
+    # remaining entries of this tile have zero gradient — just emit zeros.
+    # Padding chunks (chunk_valid == 0) are skipped the same way; their
+    # zero store keeps the output-DMA semaphores balanced.
+    live = (sv_ref[i] > 0) & (start | (jnp.max(t_run[:]) >= T_EPS))
 
     @pl.when(live)
     def _():
