@@ -29,8 +29,11 @@ from .settings import RasterConfig
 
 
 class BinnedSplats(NamedTuple):
-    sort_gauss: jnp.ndarray     # [K + C] int32 gaussian id per tile-sorted
-    #                             entry (dummy row n past num_pairs)
+    sort_gauss: jnp.ndarray     # [K + C] int32 DEPTH-RANK id per tile-sorted
+    #                             entry (dummy row n past num_pairs); resolve
+    #                             to original gaussian ids via depth_order
+    depth_order: jnp.ndarray    # [n + 1] int32: depth_order[rank] = original
+    #                             gaussian id (row n = dummy/pad row)
     chunk_tile: jnp.ndarray     # [num_chunks] int32 tile id per kernel chunk
     chunk_start_flag: jnp.ndarray  # [num_chunks] int32 1 where a tile's first chunk
     chunk_src: jnp.ndarray      # [num_chunks] int32 start row in sort order
@@ -64,11 +67,11 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     #    with the stable radix sort in the reference).
     order = jnp.argsort(pre.depths, stable=True)
     touched_s = pre.tiles_touched[order]
-    # pack (rect_min_x, rect_min_y, rect_w) into one int32 so the slot
-    # expansion needs a single K-wide gather (TPU gathers ~10 ns/elem)
+    # depth-sorted rect fields ([n] gathers are ~40x cheaper than [K] ones)
     rect_w = (pre.rect_max[:, 0] - pre.rect_min[:, 0]).astype(jnp.int32)
-    packed_rect = (pre.rect_min[:, 0] | (pre.rect_min[:, 1] << 10)
-                   | (jnp.maximum(rect_w, 1) << 20)).astype(jnp.int32)[order]
+    rx_n = pre.rect_min[:, 0].astype(jnp.int32)[order]
+    ry_n = pre.rect_min[:, 1].astype(jnp.int32)[order]
+    rw_n = jnp.maximum(rect_w, 1)[order]
 
     incl = jnp.cumsum(touched_s)
     total = incl[-1]
@@ -82,19 +85,25 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     slots = jnp.arange(K, dtype=jnp.int32)
     stamp_pos = jnp.where(touched_s > 0, excl, K)  # tiles_touched=0 -> drop
     gidx = jnp.arange(n, dtype=jnp.int32)
-    seg = jnp.zeros((K,), jnp.int32).at[stamp_pos].max(gidx + 1, mode='drop')
-    gs = jnp.maximum(jax.lax.cummax(seg) - 1, 0)
-    # segment start (= excl of the owning Gaussian) via a second stamp:
-    # excl is strictly increasing over stamped gaussians, so cummax works
-    seg_start = jax.lax.cummax(
-        jnp.zeros((K,), jnp.int32).at[stamp_pos].max(excl + 1, mode='drop')) - 1
+    # All five per-slot quantities (depth rank, segment start, rect fields)
+    # segment-fill by the same stamp+cummax trick; rect fields ride a
+    # monotone carrier (gs+1) << 10 | field (gs = depth rank is increasing
+    # across segments, constant within one). ONE [5, K] scatter + cummax
+    # pass instead of five [K] passes (and instead of a ~1 ms K-wide rect
+    # gather; K lanes on the minor axis keep the pass ~4 MB, not 67 MB).
+    assert n + 1 < (1 << 21), "carrier packing supports up to 2M gaussians"
+    carrier = (gidx + 1) << 10
+    vals = jnp.stack([gidx + 1, excl + 1, carrier | rx_n, carrier | ry_n,
+                      carrier | rw_n])                       # [5, n]
+    st = jnp.zeros((5, K), jnp.int32).at[:, stamp_pos].max(vals, mode='drop')
+    filled = jax.lax.cummax(st, axis=1)
+    gs = jnp.maximum(filled[0] - 1, 0)
+    seg_start = filled[1] - 1
     local = slots - jnp.maximum(seg_start, 0)
     valid = slots < total
-
-    pr = packed_rect[gs]  # the one K-wide gather
-    rx = pr & 0x3FF
-    ry = (pr >> 10) & 0x3FF
-    rw = (pr >> 20) & 0x3FF
+    rx = filled[2] & 0x3FF
+    ry = filled[3] & 0x3FF
+    rw = jnp.maximum(filled[4] & 0x3FF, 1)
     tx = rx + local % rw
     ty = ry + local // rw
     tile_id = jnp.where(valid, ty * cfg.grid_w + tx, T).astype(jnp.int32)
@@ -141,16 +150,19 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     chunk_src = jnp.clip(starts_all[chunk_tile] + local_off, 0, K)
     chunk_valid = jnp.clip(counts[chunk_tile] - local_off, 0, C)
 
-    # tile-sorted gaussian ids + C overrun rows; entries past ``total``
-    # route to the dummy row n (their DMA'd features are masked in-kernel,
-    # and masking here keeps any unwritten grad rows off real gaussians)
-    orig_idx = order.astype(jnp.int32)[gs_sorted]
-    sort_gauss = jnp.where(jnp.arange(K) < total, orig_idx, n)
+    # tile-sorted DEPTH-RANK ids + C overrun rows; entries past ``total``
+    # route to the dummy row n. Keeping ranks (not original ids) avoids a
+    # second K-wide gather — consumers reorder their [n]-sized per-gaussian
+    # arrays once via depth_order instead.
+    sort_gauss = jnp.where(jnp.arange(K) < total, gs_sorted, n)
     sort_gauss = jnp.concatenate(
         [sort_gauss, jnp.full((C,), n, jnp.int32)])
+    depth_order = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)])
 
     return BinnedSplats(
         sort_gauss=sort_gauss,
+        depth_order=depth_order,
         chunk_tile=chunk_tile,
         chunk_start_flag=chunk_start_flag,
         chunk_src=chunk_src,

@@ -71,6 +71,10 @@ def blend_chunks_scan(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray
     CH = col.shape[-1]
     n_chunks = binned.chunk_tile.shape[0]
 
+    # sort_gauss holds DEPTH-RANK ids — bring the padded per-gaussian
+    # attributes into depth order once ([n]-sized gathers)
+    do = binned.depth_order
+    xys, conic, opa, col = xys[do], conic[do], opa[do], col[do]
     gi_sorted = binned.sort_gauss
     px_all, py_all = _tile_pixel_coords(binned.chunk_tile, cfg)
 
@@ -137,6 +141,8 @@ def topk_weights(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
     """
     C = cfg.chunk
     P = TILE * TILE
+    do = binned.depth_order
+    xys, conic, opa = xys[do], conic[do], opa[do]
     gi_sorted = binned.sort_gauss
     px_all, py_all = _tile_pixel_coords(binned.chunk_tile, cfg)
 
@@ -188,4 +194,6 @@ def topk_weights(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
         .reshape(gh * TILE, gw * TILE, k)[:H, :W]
     iimg = tile_i.reshape(gh, gw, TILE, TILE, k).transpose(0, 2, 1, 3, 4) \
         .reshape(gh * TILE, gw * TILE, k)[:H, :W]
+    # translate depth-rank ids back to ORIGINAL gaussian ids (public API)
+    iimg = jnp.where(iimg >= 0, binned.depth_order[jnp.maximum(iimg, 0)], -1)
     return iimg, wimg

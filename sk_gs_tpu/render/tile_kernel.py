@@ -221,11 +221,15 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
         tf = 1.0 - af_ref[0, 0:1, :]                               # (1, P)
         g_alpha_out = galpha_ref[0, 0:1, :]                        # (1, P)
         g_alpha_e = g_alpha_out * tf / om                          # (C, P)
+        # all channels' inclusive sums in ONE (C, ch*P) MXU matmul
+        wc_all = jnp.concatenate(
+            [w * feat[:, 6 + k:7 + k] for k in range(ch)], axis=1)  # (C,ch*P)
+        incl_all = _cumsum_sublanes(wc_all)
         gcols = []
         for k in range(ch):
             col_k = feat[:, 6 + k:7 + k]
-            wc = w * col_k
-            c_incl = c_run[k:k + 1, :] + _cumsum_sublanes(wc)
+            wc = wc_all[:, k * P:(k + 1) * P]
+            c_incl = c_run[k:k + 1, :] + incl_all[:, k * P:(k + 1) * P]
             s_k = cf_ref[0, k:k + 1, :] - c_incl                   # suffix sum
             gcol_out_k = gcolor_ref[0, k:k + 1, :]                 # (1, P)
             g_alpha_e += gcol_out_k * (col_k * t_excl - s_k / om)
@@ -348,11 +352,18 @@ def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
 
 def blend_chunks_pallas(binned: BinnedSplats, xys, conic, opa, col,
                         cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tile_color [T, P, ch], tile_alpha [T, P]) like blend_xla."""
+    """Returns (tile_color [T, P, ch], tile_alpha [T, P]) like blend_xla.
+
+    ``binned.sort_gauss`` holds depth-rank ids; the padded per-gaussian
+    attributes are brought into depth order here ([n]-sized gathers whose
+    autodiff transpose routes the rank-space grads from the custom VJP back
+    to the original rows — this replaced a [K]-sized id gather in binning).
+    """
+    do = binned.depth_order
     return _blend_custom(binned.sort_gauss, binned.chunk_tile,
                          binned.chunk_start_flag, binned.chunk_valid,
                          binned.chunk_src, binned.tile_nonempty,
-                         xys, conic, opa, col, cfg)
+                         xys[do], conic[do], opa[do], col[do], cfg)
 
 
 def _build_feat_sorted(sort_gauss, xys, conic, opa, col):
