@@ -88,12 +88,25 @@ def main(argv=None):
             return composite_background(out['images'], out['opacity'],
                                         jnp.ones(3))
 
-        img = jax.block_until_ready(render_t(model, jnp.asarray(0.5)))
+        # batch the sweep inside one jit: per-call dispatch through the
+        # TPU tunnel (~2-9 ms) would otherwise dominate the measurement
+        @jax.jit
+        def sweep(m, ts):
+            def body(c, t):
+                return c + jnp.mean(render_t_inner(m, t)), None
+            tot, _ = jax.lax.scan(body, jnp.zeros(()), ts)
+            return tot
+
+        render_t_inner = render_t.__wrapped__
         n = 1000
+        chunksz = 100
+        ts_all = jnp.linspace(0.0, 1.0, n).reshape(-1, chunksz)
+        jax.block_until_ready(sweep(model, ts_all[0]))
         t0 = time.time()
-        for i in range(n):
-            img = render_t(model, jnp.asarray(i / n))
-        jax.block_until_ready(img)
+        acc = 0.0
+        for row in ts_all:
+            acc = acc + sweep(model, row)
+        jax.block_until_ready(acc)
         result['FPS_sweep'] = n / (time.time() - t0)
 
     out_path = Path(args.out) if args.out else Path(args.config).parent / 'results.json'
