@@ -45,12 +45,21 @@ def _ssim_components(x: jnp.ndarray, y: jnp.ndarray, window_size: int = 11):
 
 
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarray:
-    """Multi-scale SSIM (Wang et al. 2003), [H, W, C] or [B, H, W, C]."""
+    """Multi-scale SSIM (Wang et al. 2003), [H, W, C] or [B, H, W, C].
+
+    Levels are clamped so the coarsest scale still fits the 11x11 SSIM
+    window (tiny debug scenes would otherwise produce empty VALID convs ->
+    NaN); weights are renormalized over the used levels."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
     x = jnp.transpose(img1, (0, 3, 1, 2))
     y = jnp.transpose(img2, (0, 3, 1, 2))
+    min_hw = min(x.shape[2], x.shape[3])
+    while levels > 1 and (min_hw >> (levels - 1)) < 11:
+        levels -= 1
     weights = _MSSSIM_WEIGHTS[:levels]
+    wsum = sum(weights)
+    weights = tuple(w / wsum for w in weights)
     vals: List[jnp.ndarray] = []
     for i in range(levels):
         ssim_full, cs = _ssim_components(x, y)
@@ -67,17 +76,17 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarra
     return out
 
 
-_lpips_model = None
+_lpips_models: Dict[str, object] = {}
 
 
 def lpips(img1: np.ndarray, img2: np.ndarray, net: str = 'alex') -> float:
     """LPIPS via the torch package if available, else NaN."""
-    global _lpips_model
     try:
         import torch
         import lpips as lpips_pkg
-        if _lpips_model is None:
-            _lpips_model = lpips_pkg.LPIPS(net=net, verbose=False)
+        if net not in _lpips_models:
+            _lpips_models[net] = lpips_pkg.LPIPS(net=net, verbose=False)
+        _lpips_model = _lpips_models[net]
         with torch.no_grad():
             a = torch.from_numpy(np.asarray(img1, np.float32)).permute(2, 0, 1)[None] * 2 - 1
             b = torch.from_numpy(np.asarray(img2, np.float32)).permute(2, 0, 1)[None] * 2 - 1

@@ -105,7 +105,8 @@ class SKGSTrainer:
                  sampler=None,
                  seed: int = 0,
                  clip_norm: float = 0.0,
-                 batch_views: int = 1):
+                 batch_views: int = 1,
+                 optimizer: str = 'adam'):
         self.cfg = cfg
         self.rcfg = rcfg
         self.scene = scene
@@ -123,8 +124,11 @@ class SKGSTrainer:
         # (my_ext/framework.py:264-306, my_ext/trainer.py:21-47)
         self.clip_norm = clip_norm
         self.batch_views = batch_views
+        # optimizer registry (make_optimizer, my_ext/optimizer/build.py:85
+        # parity); surgery helpers work on any registered state shape
+        self.opt_init, self.opt_update = optim.make_optimizer(optimizer)
         self.state = TrainerState(
-            model=model, opt_state=optim.adam_init(model.params),
+            model=model, opt_state=self.opt_init(model.params),
             key=jax.random.PRNGKey(seed),
             gs_knn_index=jnp.zeros((model.capacity, gs_knn_num), jnp.int32))
         self._step_fns: Dict[str, Callable] = {}
@@ -600,7 +604,7 @@ class SKGSTrainer:
                 m2d_grad = mg_sum / K
                 aux = jax.tree.map(lambda x: x[-1], aux_k)
                 time_ids = time_id
-            new_params, new_opt = optim.adam_update(
+            new_params, new_opt = self.opt_update(
                 pgrads, opt_state, model.params, lrs,
                 clip_norm=self.clip_norm)
             model = model._replace(params=new_params)
@@ -722,9 +726,14 @@ class SKGSTrainer:
         if stage in ('static', 'init', 'init_fix'):
             rel = step
             if rel < cfg.init_sampling_step and check_interval_v2(
-                    rel, 100, 0, -1):
-                self._densify_prune(True, True, rel)
-            if check_interval_v2(rel, *g.opacity_reset_interval):
+                    rel, *g.init_densify_prune_interval):
+                # size threshold kicks in after the first opacity reset
+                # (adaptive_control_init_stage, sk_gs.py:1949)
+                size_thr = g.prune_max_screen_size \
+                    if rel > g.opacity_reset_interval[0] else 0.0
+                self._densify_prune(True, True, rel, size_thr)
+            if rel < cfg.init_sampling_step and check_interval_v2(
+                    rel, *g.init_opacity_reset_interval):
                 self._reset_opacity()
             return
         if stage in ('sp_fix', 'sp'):
@@ -735,12 +744,14 @@ class SKGSTrainer:
             return
 
         is_sp = stage == 'sp'
-        if is_sp and check_interval_v2(rel, 100, 10000, 20000, close='[)'):
+        if is_sp and check_interval_v2(rel, *cfg.sp_adjust_interval,
+                                       close='[)'):
             st.model, st.opt_state, stats = sk_gs_ops.superpoint_prune_split(
                 cfg, st.model, st.opt_state)
             log.info('step %d: sp prune/split -%d +%d', step,
                      int(stats['n_pruned']), int(stats['n_split']))
-        if is_sp and check_interval_v2(rel, 100, 20000, 30000, close='[)'):
+        if is_sp and check_interval_v2(rel, *cfg.sp_merge_interval,
+                                       close='[)'):
             st.key, k = jax.random.split(st.key)
             st.model, st.opt_state, stats = sk_gs_ops.superpoint_merge(
                 cfg, st.model, st.opt_state, k)
@@ -748,7 +759,7 @@ class SKGSTrainer:
 
         if check_interval_v2(rel, *g.densify_interval):
             size_thr = g.prune_max_screen_size \
-                if rel > g.opacity_reset_interval[0] else 0.0
+                if rel > g.opacity_reset_interval[1] else 0.0
             self._densify_prune(True, True, rel, size_thr)
         if (rel > 1 and (rel - 1) % g.opacity_reset_interval[0] == 0) or \
                 (self.meta.background_type == 'white'
@@ -797,6 +808,62 @@ class SKGSTrainer:
         pts_m = pts + big[:, None]
         _, idx = knn_op(pts_m, pts_m, self.gs_knn_num + 1)
         self.state.gs_knn_index = idx[:, 1:]
+
+    # ------------------------------------------------------------ checkpoint
+
+    def ckpt_state(self) -> Dict[str, Any]:
+        """Everything needed to resume EXACTLY (reference parity:
+        my_ext/checkpoint.py:86-108 restores every stored object). Includes
+        the stage-transition flags — without them a resume inside sk_fix/sk
+        would re-run init_skeleton and clobber the trained skeleton."""
+        st = self.state
+        return {
+            'model': st.model,
+            'opt': st.opt_state,
+            'flags': {
+                'skeleton_initialized': np.asarray(st.skeleton_initialized),
+                'sp_initialized': np.asarray(st.sp_initialized),
+                'reinit_done': np.asarray(st.reinit_done),
+                'best_psnr': np.asarray(st.best_psnr, np.float32),
+                'key': st.key,
+                'gs_knn_index': st.gs_knn_index,
+            },
+        }
+
+    def restore(self, loaded: Dict[str, Any], step: int):
+        """Restore from a ``ckpt_state()``-shaped dict.
+
+        Legacy checkpoints carry no flags; ``load_into_pytree`` then leaves
+        the (False) template defaults in place. Stage inference covers that:
+        a checkpoint at step S inside an sk stage was necessarily written
+        AFTER the lazy skeleton init ran, so OR-ing loaded flags with the
+        schedule-derived values is always correct."""
+        st = self.state
+        st.model = loaded['model']
+        if loaded.get('opt') is not None:
+            st.opt_state = loaded['opt']
+        st.step = step
+        stage = self.cfg.stage_at(max(step, 1))
+        flags = loaded.get('flags', {})
+        st.skeleton_initialized = (
+            bool(np.asarray(flags.get('skeleton_initialized', False)))
+            or stage in ('sk_init', 'sk_fix', 'sk'))
+        st.sp_initialized = (
+            bool(np.asarray(flags.get('sp_initialized', False)))
+            or step >= self.cfg.init_sampling_step)
+        st.reinit_done = (
+            bool(np.asarray(flags.get('reinit_done', False)))
+            or (self.cfg.stages['sp_fix'][0] > 0
+                and step >= self.cfg.stages['sp_fix'][0]))
+        if 'best_psnr' in flags:
+            st.best_psnr = float(np.asarray(flags['best_psnr']))
+        if 'key' in flags:
+            st.key = jnp.asarray(flags['key'])
+        if 'gs_knn_index' in flags:
+            st.gs_knn_index = jnp.asarray(flags['gs_knn_index'])
+        if stage in ('sp', 'sp_fix') and not np.any(
+                np.asarray(st.gs_knn_index)):
+            self.update_gs_knn(1)  # legacy ckpt: rebuild the smooth-loss KNN
 
     # ------------------------------------------------------------ main loop
 
@@ -852,13 +919,19 @@ class SKGSTrainer:
         return metrics
 
     def evaluate(self, scene: Optional[Scene] = None,
-                 stage: Optional[str] = None) -> Dict[str, float]:
-        """PSNR/SSIM over a split (test.py protocol)."""
+                 stage: Optional[str] = None,
+                 full_metrics: bool = False) -> Dict[str, float]:
+        """Metrics over a split (test.py protocol). ``full_metrics`` adds
+        MS-SSIM + LPIPS(alex/vgg) — the reference's 6-column results.json
+        (/root/reference/test.py:85-91, my_ext/metrics/image_metric.py:14-60).
+        The in-loop eval keeps the cheap PSNR/SSIM pair."""
         from ..models.losses import ssim as ssim_fn
         scene = scene or self.eval_scene or self.scene
         cfg = self.cfg
         stage = stage or cfg.stage_at(max(self.state.step, 1))
-        psnrs, ssims = [], []
+        if full_metrics:
+            from .metrics import lpips, ms_ssim
+        sums: Dict[str, float] = {}
         for i in range(scene.num_views):
             img = self.render_view(scene, i, stage)
             gt = scene.images[i]
@@ -867,9 +940,16 @@ class SKGSTrainer:
                 # fallback bg (checker image / black) for deterministic eval
                 a = gt[..., 3:4]
                 gt = gt[..., :3] * a + self._bg * (1.0 - a)
-            psnrs.append(float(psnr(img, gt)))
-            ssims.append(float(ssim_fn(img[..., :3], gt[..., :3])))
-        return {'PSNR': float(np.mean(psnrs)), 'SSIM': float(np.mean(ssims))}
+            vals = {'PSNR': float(psnr(img, gt)),
+                    'SSIM': float(ssim_fn(img[..., :3], gt[..., :3]))}
+            if full_metrics:
+                vals['MS-SSIM'] = float(ms_ssim(img[..., :3], gt[..., :3]))
+                img_np, gt_np = np.asarray(img[..., :3]), np.asarray(gt[..., :3])
+                vals['LPIPS (alex)'] = lpips(img_np, gt_np, net='alex')
+                vals['LPIPS (vgg)'] = lpips(img_np, gt_np, net='vgg')
+            for k, v in vals.items():
+                sums[k] = sums.get(k, 0.0) + v
+        return {k: v / max(scene.num_views, 1) for k, v in sums.items()}
 
     def _render_eval_fn(self, stage: str):
         """Jitted eval renderer per stage (eager re-trace per view would be

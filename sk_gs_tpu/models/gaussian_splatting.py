@@ -42,14 +42,17 @@ class GaussianConfig(NamedTuple):
     lr_scaling: float = 5.0
     lr_rotation: float = 1.0
     # adaptive control (defaults = exps/default.yaml adaptive_control_cfg)
-    densify_interval: Tuple[int, int, int] = (100, 500, 15000)
+    densify_interval: Tuple[int, int, int] = (100, 500, 25_000)
     densify_grad_threshold: float = 0.0002
     densify_percent_dense: float = 0.01
-    prune_interval: Tuple[int, int, int] = (100, 500, 15000)
+    prune_interval: Tuple[int, int, int] = (100, 500, 25_000)
     prune_opacity_threshold: float = 0.005
     prune_max_screen_size: float = 20.0
     prune_percent_dense: float = 0.1
     opacity_reset_interval: Tuple[int, int, int] = (3000, 3000, -1)
+    # init-stage variants (adaptive_control_init_stage, sk_gs.py:1940-1966)
+    init_densify_prune_interval: Tuple[int, int, int] = (100, 0, -1)
+    init_opacity_reset_interval: Tuple[int, int, int] = (3000, 0, -1)
     background_type: str = 'white'
 
 

@@ -63,7 +63,23 @@ def adam_update(grads, state: AdamState, params, lr_tree,
     return new_params, AdamState(mu=mu, nu=nu, count=count)
 
 
-def reset_rows(state: AdamState, name: str, row_mask: jnp.ndarray) -> AdamState:
+def _moment_fields(state):
+    """Names of the state fields holding per-param moment pytrees (works for
+    every optimizer in the registry: Adam mu/nu, SGD mu, Adan
+    mu/delta/nu/prev_grad); scalar fields like ``count`` are skipped."""
+    return [f for f in state._fields if isinstance(getattr(state, f), dict)]
+
+
+def _apply_surgery(state, name: str, fn):
+    repl = {}
+    for f in _moment_fields(state):
+        d = dict(getattr(state, f))
+        d[name] = fn(d[name])
+        repl[f] = d
+    return state._replace(**repl)
+
+
+def reset_rows(state, name: str, row_mask: jnp.ndarray):
     """Zero the moments of rows selected by ``row_mask`` in leaf ``name``
     (dict-pytree params). The surgery applied when Gaussians are replaced,
     cloned or split (reference change_optimizer op='replace'/'concat')."""
@@ -71,24 +87,15 @@ def reset_rows(state: AdamState, name: str, row_mask: jnp.ndarray) -> AdamState:
         m = row_mask.reshape(row_mask.shape[0], *([1] * (x.ndim - 1)))
         return jnp.where(m, jnp.zeros_like(x), x)
 
-    mu = dict(state.mu)
-    nu = dict(state.nu)
-    mu[name] = zero_rows(mu[name])
-    nu[name] = zero_rows(nu[name])
-    return state._replace(mu=mu, nu=nu)
+    return _apply_surgery(state, name, zero_rows)
 
 
-def reset_leaf(state: AdamState, name: str) -> AdamState:
+def reset_leaf(state, name: str):
     """Zero the full moments of one leaf (replace-op surgery)."""
-    mu = dict(state.mu)
-    nu = dict(state.nu)
-    mu[name] = jnp.zeros_like(mu[name])
-    nu[name] = jnp.zeros_like(nu[name])
-    return state._replace(mu=mu, nu=nu)
+    return _apply_surgery(state, name, jnp.zeros_like)
 
 
-def permute_rows(state: AdamState, name: str, perm: jnp.ndarray,
-                 valid: jnp.ndarray) -> AdamState:
+def permute_rows(state, name: str, perm: jnp.ndarray, valid: jnp.ndarray):
     """Gather-rows surgery (prune-compaction / superpoint reorder):
     row i <- row perm[i] where valid[i], else zeros."""
     def do(x):
@@ -96,11 +103,7 @@ def permute_rows(state: AdamState, name: str, perm: jnp.ndarray,
         m = valid.reshape(valid.shape[0], *([1] * (x.ndim - 1)))
         return jnp.where(m, g, jnp.zeros_like(g))
 
-    mu = dict(state.mu)
-    nu = dict(state.nu)
-    mu[name] = do(mu[name])
-    nu[name] = do(nu[name])
-    return state._replace(mu=mu, nu=nu)
+    return _apply_surgery(state, name, do)
 
 
 # ------------------------------------------------------------ other optimizers

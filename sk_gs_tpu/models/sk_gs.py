@@ -58,6 +58,10 @@ class SKGSConfig(NamedTuple):
     sp_prune_threshold: float = 1e-3
     sp_split_threshold: float = 0.0002
     sp_merge_threshold: float = 0.0005
+    # stage-relative superpoint adjust/merge windows
+    # (adaptive_control_cfg sp_adjust/sp_merge, exps/default.yaml:76-77)
+    sp_adjust_interval: Tuple[int, int, int] = (100, 10_000, 20_000)
+    sp_merge_interval: Tuple[int, int, int] = (100, 20_000, 30_000)
     sp_guided_detach: bool = True
     guided_step_start: int = 40000
     f_s: float = 0.1

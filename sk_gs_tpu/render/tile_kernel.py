@@ -11,15 +11,20 @@ re-designed for the TPU execution model:
   chunk's entries are CONTIGUOUS there, so the kernel streams them with
   manually double-buffered DMA (per-chunk start offset from scalar
   prefetch). This avoids materializing a padded gather — XLA random gathers
-  cost ~10 ns/element on TPU, contiguous DMA is ~free;
+  cost ~10 ns/element on TPU, contiguous DMA is ~free. Chunks past the last
+  live pair (`chunk_valid == 0`, a contiguous tail of the static grid) skip
+  both the DMA and the math;
 - entries past the chunk's valid count are masked (alpha 0); the analogous
   backward store tail overlaps the next tile's first rows, but grid steps
   execute in order so the next tile's own (later, correct) store wins;
-- within a chunk the front-to-back walk uses log-space triangular-matmul
-  prefix products on the MXU; transmittance carries across chunks in
-  scratch; the backward re-walks front-to-back using the suffix color
-  S_i = C_final - C_incl_i and DMAs per-entry grads out per chunk
-  (segment-summed back to Gaussians outside — the atomicAdd equivalent).
+- within a chunk the front-to-back walk uses exact Hillis-Steele prefix
+  products (TPU exp/log error makes log-space matmuls drift ~5% over 256
+  terms); transmittance carries across chunks in scratch. The walk keeps
+  the EXCLUSIVE product p_excl so the weights w = alpha * p_excl need no
+  per-element divide; the backward re-walks front-to-back using the suffix
+  color S_i = C_final - C_incl_i, a single 1/(1-alpha) reciprocal, and DMAs
+  per-entry grads out per chunk (segment-summed back to Gaussians outside —
+  the atomicAdd equivalent).
 
 Layout: splat entries on sublanes (C), tile pixels on lanes (P = 256).
 Gradient conventions match the CUDA backward: the 0.99 alpha clamp is
@@ -52,6 +57,18 @@ P = TILE * TILE  # pixels per tile
 # set True to run kernels in the Pallas interpreter (CPU testing)
 INTERPRET = False
 
+# implementation knobs (A/B-tested on hardware via tools/kernel_lab.py);
+# all variants are numerically equivalent up to ~1 ulp re-association
+IMPL = {
+    'cumprod': 'concat',   # 'concat' (shift via static slice) | 'roll'
+    'cumsum': 'mxu',       # 'mxu' (triangular matmul, HIGHEST) |
+    #                        'mxu_default' (bf16 passes) | 'concat' (HS adds)
+    'gate_dma': True,      # skip DMA for the dead tail chunks
+    'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
+    #                        the DMA pipeline but trivializes the chunk math;
+    #                        'nodma' keeps the math on stale buffer contents
+}
+
 
 def _tri_ones(c: int, dtype=jnp.float32) -> jnp.ndarray:
     """Lower-triangular (inclusive) ones matrix [C, C]: L[i, j] = j <= i."""
@@ -61,13 +78,25 @@ def _tri_ones(c: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _cumsum_sublanes(x):
-    """Inclusive prefix sum along axis 0 as a triangular matmul (MXU).
+    """Inclusive prefix sum along axis 0 (sublanes).
 
-    Sublane-axis scans via shifted selects are VPU-hostile on TPU; one
-    [C,C]x[C,P] matmul on the MXU is ~free at C=256."""
+    'mxu': one [C,C]x[C,P] matmul — MXU work but HIGHEST precision costs
+    multiple bf16 passes; 'concat': log2(C) Hillis-Steele passes of exact
+    f32 adds with static-slice shifts (no select needed: shifted-in rows are
+    the identity 0)."""
+    impl = IMPL['cumsum']
+    if impl == 'concat':
+        c = x.shape[0]
+        shift = 1
+        while shift < c:
+            top = jnp.zeros((shift,) + x.shape[1:], x.dtype)
+            x = x + jnp.concatenate([top, x[:-shift]], axis=0)
+            shift *= 2
+        return x
+    precision = (jax.lax.Precision.HIGHEST if impl == 'mxu'
+                 else jax.lax.Precision.DEFAULT)
     return jnp.dot(_tri_ones(x.shape[0], x.dtype), x,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   preferred_element_type=jnp.float32, precision=precision)
 
 
 def _cumprod_sublanes(x):
@@ -75,8 +104,17 @@ def _cumprod_sublanes(x):
 
     NOT the log-space matmul: TPU exp/log carry ~1e-4 relative error that
     compounds to ~5% over 256-term products (measured), while shifted
-    multiplies are exact."""
+    multiplies are exact. 'concat' shifts by static slice+concat (the
+    shifted-in rows are the identity 1.0, so no row-mask select is needed);
+    'roll' uses pltpu.roll + iota select."""
     c = x.shape[0]
+    if IMPL['cumprod'] == 'concat':
+        shift = 1
+        while shift < c:
+            top = jnp.ones((shift,) + x.shape[1:], x.dtype)
+            x = x * jnp.concatenate([top, x[:-shift]], axis=0)
+            shift *= 2
+        return x
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     shift = 1
     while shift < c:
@@ -84,6 +122,12 @@ def _cumprod_sublanes(x):
         x = x * jnp.where(rows >= shift, rolled, 1.0)
         shift *= 2
     return x
+
+
+def _shift_down_one(x, fill: float):
+    """[C, P] -> rows shifted down by 1, row 0 = fill."""
+    top = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[:-1]], axis=0)
 
 
 def _pixel_coords(tile, grid_w):
@@ -117,15 +161,16 @@ def _chunk_alpha(feat, px, py, n_valid):
 
 
 def _blend_math(feat, px, py, t_run, n_valid):
-    """Shared fwd/bwd chunk math."""
+    """Shared fwd/bwd chunk math (exclusive-product form: no divides)."""
     alpha, alpha_raw, g, dx, dy, keep = _chunk_alpha(feat, px, py, n_valid)
     om = 1.0 - alpha
-    p_incl = t_run * _cumprod_sublanes(om)
+    p_excl = t_run * _shift_down_one(_cumprod_sublanes(om), 1.0)
+    p_incl = p_excl * om
     contrib = p_incl >= T_EPS
-    w = jnp.where(contrib, alpha * p_incl / om, 0.0)
+    w = jnp.where(contrib, alpha * p_excl, 0.0)
     # T after chunk = p_incl at the last contributing row (monotone)
     t_new = jnp.min(jnp.where(contrib, p_incl, t_run), axis=0, keepdims=True)
-    return alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w, t_new
+    return alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w, t_new
 
 
 def _feat_dma(feat_hbm, buf, sem, slot, src):
@@ -139,16 +184,20 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     nc = pl.num_programs(0)
     start = cs_ref[i] == 1
     tile = ct_ref[i]
+    gate = IMPL['gate_dma']
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (sv_ref[0] > 0) if gate else (i == 0))
     def _():
         _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
 
-    @pl.when(i + 1 < nc)
+    @pl.when((i + 1 < nc) & (sv_ref[jnp.minimum(i + 1, nc - 1)] > 0)
+             if gate else (i + 1 < nc))
     def _():
         _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2, sc_ref[i + 1]).start()
 
-    _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
+    @pl.when(sv_ref[i] > 0 if gate else i >= 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
 
     @pl.when(start)
     def _():
@@ -163,7 +212,7 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     def _():
         feat = feat_buf[i % 2]
         px, py = _pixel_coords(tile, grid_w)
-        (alpha, _, _, _, _, _, om, p_incl, contrib, w,
+        (alpha, _, _, _, _, _, om, p_excl, contrib, w,
          t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
         for k in range(ch):
             col_k = feat[:, 6 + k:7 + k]
@@ -180,23 +229,28 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
     start = cs_ref[i] == 1
     tile = ct_ref[i]
     C = feat_buf.shape[1]
+    gate = IMPL['gate_dma']
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (sv_ref[0] > 0) if gate else (i == 0))
     def _():
         _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
 
-    @pl.when(i + 1 < nc)
+    @pl.when((i + 1 < nc) & (sv_ref[jnp.minimum(i + 1, nc - 1)] > 0)
+             if gate else (i + 1 < nc))
     def _():
         _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2, sc_ref[i + 1]).start()
 
-    _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
+    @pl.when(sv_ref[i] > 0 if gate else i >= 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
 
     # the store issued two steps ago into this slot must have drained
-    @pl.when(i >= 2)
+    @pl.when((i >= 2) & (sv_ref[jnp.maximum(i - 2, 0)] > 0) if gate
+             else (i >= 2))
     def _():
         pltpu.make_async_copy(
             gfeat_buf.at[i % 2],
-            gfeat_hbm.at[pl.ds(sc_ref[i - 2], C), :],
+            gfeat_hbm.at[pl.ds(sc_ref[jnp.maximum(i - 2, 0)], C), :],
             osems.at[i % 2]).wait()
 
     @pl.when(start)
@@ -206,22 +260,24 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
 
     # saturated fast path: once every pixel's transmittance is cut, all
     # remaining entries of this tile have zero gradient — just emit zeros.
-    # Padding chunks (chunk_valid == 0) are skipped the same way; their
-    # zero store keeps the output-DMA semaphores balanced.
-    live = (sv_ref[i] > 0) & (start | (jnp.max(t_run[:]) >= T_EPS))
+    # Padding (tail) chunks skip everything including the store: their
+    # gfeat rows are never read into a real Gaussian (their segment id is
+    # the dummy row n, whose gradient is sliced away).
+    dma_on = sv_ref[i] > 0
+    live = dma_on & (start | (jnp.max(t_run[:]) >= T_EPS))
 
     @pl.when(live)
     def _():
         feat = feat_buf[i % 2]
         px, py = _pixel_coords(tile, grid_w)
-        (alpha, alpha_raw, g, dx, dy, keep, om, p_incl, contrib, w,
+        (alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w,
          t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
-        t_excl = p_incl / om
+        inv_om = 1.0 / om                                          # (C, P)
 
         tf = 1.0 - af_ref[0, 0:1, :]                               # (1, P)
         g_alpha_out = galpha_ref[0, 0:1, :]                        # (1, P)
-        g_alpha_e = g_alpha_out * tf / om                          # (C, P)
-        # all channels' inclusive sums in ONE (C, ch*P) MXU matmul
+        g_alpha_e = g_alpha_out * tf * inv_om                      # (C, P)
+        # all channels' inclusive sums in ONE prefix pass over (C, ch*P)
         wc_all = jnp.concatenate(
             [w * feat[:, 6 + k:7 + k] for k in range(ch)], axis=1)  # (C,ch*P)
         incl_all = _cumsum_sublanes(wc_all)
@@ -232,7 +288,7 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
             c_incl = c_run[k:k + 1, :] + incl_all[:, k * P:(k + 1) * P]
             s_k = cf_ref[0, k:k + 1, :] - c_incl                   # suffix sum
             gcol_out_k = gcolor_ref[0, k:k + 1, :]                 # (1, P)
-            g_alpha_e += gcol_out_k * (col_k * t_excl - s_k / om)
+            g_alpha_e += gcol_out_k * (col_k * p_excl - s_k * inv_om)
             gcols.append(jnp.sum(gcol_out_k * w, axis=1, keepdims=True))
             c_run[k:k + 1, :] += jnp.sum(wc, axis=0, keepdims=True)
         # gradient flows only through splats that actually contributed: the
@@ -259,27 +315,33 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
         gfeat_buf[i % 2] = jnp.where(row < sv_ref[i], grads, 0.0)
         t_run[:] = t_new
 
-    @pl.when(jnp.logical_not(live))
+    @pl.when(dma_on & jnp.logical_not(live))
     def _():
         gfeat_buf[i % 2] = jnp.zeros_like(gfeat_buf[i % 2])
 
-    pltpu.make_async_copy(
-        gfeat_buf.at[i % 2],
-        gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
-        osems.at[i % 2]).start()
+    @pl.when(dma_on if IMPL['gate_dma'] else i >= 0)
+    def _():
+        pltpu.make_async_copy(
+            gfeat_buf.at[i % 2],
+            gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
+            osems.at[i % 2]).start()
 
-    # drain outstanding stores at the end of the grid
-    @pl.when(i == nc - 1)
+    # drain outstanding stores at the end of the grid. With gating, the
+    # last two LIVE chunks may sit anywhere; stores from chunks <= nc-3 are
+    # waited by the i-2 rule above (dead steps still execute their waits),
+    # so only stores issued at nc-1 / nc-2 themselves need explicit drains.
+    @pl.when((i == nc - 1) & (sv_ref[i] > 0 if gate else i >= 0))
     def _():
         pltpu.make_async_copy(gfeat_buf.at[i % 2],
                               gfeat_hbm.at[pl.ds(sc_ref[i], C), :],
                               osems.at[i % 2]).wait()
 
-    @pl.when((i == nc - 1) & (nc >= 2))
+    @pl.when((i == nc - 1) & (nc >= 2)
+             & (sv_ref[jnp.maximum(i - 1, 0)] > 0 if gate else i >= 0))
     def _():
         pltpu.make_async_copy(
             gfeat_buf.at[(i - 1) % 2],
-            gfeat_hbm.at[pl.ds(sc_ref[i - 1], C), :],
+            gfeat_hbm.at[pl.ds(sc_ref[jnp.maximum(i - 1, 0)], C), :],
             osems.at[(i - 1) % 2]).wait()
 
 
@@ -291,7 +353,7 @@ def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=[
             pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
             pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
@@ -323,13 +385,13 @@ def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
             pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
             pl.BlockSpec((1, ch, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
             pl.BlockSpec((1, 1, P), lambda i, ct, cs, sv, sc: (ct[i], 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((ch, P), jnp.float32),

@@ -52,19 +52,19 @@ def main(argv=None):
     base = init_from_pcd(pts, cols, skcfg.gauss)
     model = sk_gs.init_model(jax.random.PRNGKey(0), skcfg, base,
                              np.asarray(meta.train_times))
-    loaded = load_into_pytree({'state': {'model': model, 'opt': None},
-                               'meta': {'step': 0}}, args.load)
-    model = loaded['state']['model']
-    step = int(np.asarray(loaded['meta']['step']))
-
     trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
                           eval_scene=eval_scene)
-    trainer.state.step = step or skcfg.total_steps
-    trainer.state.skeleton_initialized = True
+    # template from ckpt_state(): trainer flags round-trip with the model
+    # (legacy checkpoints without flags fall back to stage inference)
+    loaded = load_into_pytree({'state': trainer.ckpt_state(),
+                               'meta': {'step': 0}}, args.load)
+    step = int(np.asarray(loaded['meta']['step'])) or skcfg.total_steps
+    trainer.restore(loaded['state'], step)
+    model = trainer.state.model
 
-    stage = skcfg.stage_at(trainer.state.step) if step else 'sk'
+    stage = skcfg.stage_at(trainer.state.step)
     t0 = time.time()
-    result = trainer.evaluate(eval_scene, stage=stage)
+    result = trainer.evaluate(eval_scene, stage=stage, full_metrics=True)
     n_views = eval_scene.num_views
     result['FPS'] = n_views / (time.time() - t0)
     result['stage'] = stage

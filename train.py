@@ -86,6 +86,26 @@ def build_model_cfg(cfg, meta, image_size):
 
     m = cfg['model']
     sched = tuple((k, int(v)) for k, v in cfg['train_schedule'].items())
+    # adaptive_control_cfg parity (exps/default.yaml:65-79): YAML keys map
+    # 1:1 onto GaussianConfig / SKGSConfig fields
+    ac = dict(cfg.get('adaptive_control', {}))
+    gauss_ac = {}
+    for key in ('densify_interval', 'prune_interval',
+                'opacity_reset_interval', 'init_densify_prune_interval',
+                'init_opacity_reset_interval'):
+        if key in ac:
+            gauss_ac[key] = tuple(int(v) for v in ac.pop(key))
+    for key in ('densify_grad_threshold', 'densify_percent_dense',
+                'prune_opacity_threshold', 'prune_max_screen_size',
+                'prune_percent_dense'):
+        if key in ac:
+            gauss_ac[key] = float(ac.pop(key))
+    sk_ac = {}
+    for key in ('sp_adjust_interval', 'sp_merge_interval'):
+        if key in ac:
+            sk_ac[key] = tuple(int(v) for v in ac.pop(key))
+    if ac:
+        raise KeyError(f'unknown adaptive_control keys: {sorted(ac)}')
     net = DeformNetConfig(
         depth=int(m['net'].get('depth', 8)), width=int(m['net'].get('width', 256)),
         pos_degree=int(m['net'].get('pos_degree', 10)),
@@ -96,7 +116,8 @@ def build_model_cfg(cfg, meta, image_size):
     skcfg = SKGSConfig(
         gauss=GaussianConfig(capacity=int(m['capacity']),
                              sh_degree=int(m['sh_degree']),
-                             lr=float(cfg['train'].get('lr', 1e-3))),
+                             lr=float(cfg['train'].get('lr', 1e-3)),
+                             **gauss_ac),
         net=net,
         sk_net=SkeletonNetConfig(
             out_dims=(4, 4, 3), width=int(m['net'].get('width', 256)),
@@ -122,6 +143,7 @@ def build_model_cfg(cfg, meta, image_size):
         sp_split_threshold=float(m.get('sp_split_threshold', 2e-4)),
         sp_merge_threshold=float(m.get('sp_merge_threshold', 5e-4)),
         guided_step_start=int(m.get('guided_step_start', 40000)),
+        **sk_ac,
     )
     w, h = image_size
     rcfg = RasterConfig(image_width=w, image_height=h,
@@ -213,32 +235,52 @@ def main(argv=None):
     model = sk_gs.init_model(jax.random.PRNGKey(int(cfg['train'].get('seed', 0))),
                              skcfg, base, np.asarray(meta.train_times))
 
+    # sampler from config (make_sampler registry; reference data_loader
+    # batch-sampler selection, ti_batch_sampler.py:12)
+    from sk_gs_tpu.data.sampler import make_sampler
+    samp_cfg = cfg['train'].get('sampler', 'uniform')
+    if isinstance(samp_cfg, str):
+        samp_kind, samp_kw = samp_cfg, {}
+    else:
+        samp_kw = dict(samp_cfg)
+        samp_kind = samp_kw.pop('kind', 'uniform')
+    canonical_ids = np.flatnonzero(
+        np.asarray(scene.time_ids) == skcfg.canonical_time_id)
+    sampler = make_sampler(samp_kind, scene.num_views,
+                           times=np.asarray(scene.times),
+                           canonical_ids=canonical_ids,
+                           total_steps=skcfg.total_steps,
+                           seed=int(cfg['train'].get('seed', 0)), **samp_kw)
+
     trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
                           loss_weights=LossWeights(cfg.get('loss', {})),
                           eval_scene=eval_scene, pcd=(pts, cols),
+                          sampler=sampler,
                           seed=int(cfg['train'].get('seed', 0)),
                           clip_norm=float(cfg['train'].get('clip_norm', 0.0)),
-                          batch_views=int(cfg['train'].get('batch_views', 1)))
+                          batch_views=int(cfg['train'].get('batch_views', 1)),
+                          optimizer=cfg['train'].get('optimizer', 'adam'))
     ckpt = CheckpointManager(out_dir / 'checkpoints',
                              interval=int(cfg['train'].get('checkpoint_interval', 5000)))
     trainer.snapshot_fn = lambda name: ckpt.save(
-        {'model': trainer.state.model, 'opt': trainer.state.opt_state},
-        trainer.state.step, force=True, name=name, manage=False)
+        trainer.ckpt_state(), trainer.state.step, force=True, name=name,
+        manage=False)
     total = args.steps or skcfg.total_steps
     eval_interval = int(cfg['train'].get('eval_interval', 5000))
     log_interval = int(cfg['train'].get('log_interval', 100))
 
     start = 1
+    best = -1.0
     if args.resume:
-        loaded = ckpt.load({'model': trainer.state.model,
-                            'opt': trainer.state.opt_state}, args.resume)
-        trainer.state.model = loaded['state']['model']
-        trainer.state.opt_state = loaded['state']['opt']
+        loaded = ckpt.load(trainer.ckpt_state(), args.resume)
         start = int(loaded['meta']['step']) + 1
-        logging.info('resumed from step %d', start - 1)
+        trainer.restore(loaded['state'], start - 1)
+        best = trainer.state.best_psnr
+        logging.info('resumed from step %d (stage %s, sk_init=%s)',
+                     start - 1, skcfg.stage_at(max(start - 1, 1)),
+                     trainer.state.skeleton_initialized)
 
     t0 = time.time()
-    best = -1.0
     metrics_log = (out_dir / 'metrics.jsonl').open('a')
     vis_interval = int(cfg['train'].get('vis_interval', 0))
     # jax.profiler window (TPU equivalent of the reference's manual
@@ -265,8 +307,7 @@ def main(argv=None):
             if not np.isfinite(loss_f):
                 # NaN/Inf abort with a crash dump (reference
                 # my_ext/framework.py:275-279 loss-check)
-                ckpt.save({'model': trainer.state.model,
-                           'opt': trainer.state.opt_state}, step,
+                ckpt.save(trainer.ckpt_state(), step,
                           force=True, name='crash.npz', manage=False)
                 raise FloatingPointError(
                     f'non-finite loss {loss_f} at step {step} '
@@ -290,13 +331,12 @@ def main(argv=None):
                          f' mem={mem:.0f}MB' if mem else '')
             if result['PSNR'] > best:
                 best = result['PSNR']
-                ckpt.save({'model': trainer.state.model,
-                           'opt': trainer.state.opt_state}, step,
+                trainer.state.best_psnr = best
+                ckpt.save(trainer.ckpt_state(), step,
                           force=True, name='best.npz', manage=False)
-        ckpt.save({'model': trainer.state.model,
-                   'opt': trainer.state.opt_state}, step)
+        ckpt.save(trainer.ckpt_state(), step)
 
-    result = trainer.evaluate()
+    result = trainer.evaluate(full_metrics=True)
     result['best_PSNR'] = best
     result['train_time_s'] = time.time() - t0
     with (out_dir / 'results.json').open('w') as f:
@@ -310,8 +350,8 @@ def main(argv=None):
                        if k in ('xyz', 'f_dc', 'f_rest', 'opacity', 'scaling',
                                 'rotation')},
                       np.asarray(m.alive))
-    ckpt.save({'model': trainer.state.model, 'opt': trainer.state.opt_state},
-              total, force=True, name='last.npz', manage=False)
+    ckpt.save(trainer.ckpt_state(), total, force=True, name='last.npz',
+              manage=False)
     logging.info('done: %s', result)
     return result
 
