@@ -197,6 +197,9 @@ def make_exchange_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs',
             rect_min=jnp.stack([rx0, ly0], -1),
             rect_max=jnp.stack([rx1, ly1], -1),
             visible=visible,
+            # alpha>=1/255 threshold rebuilt from the exchanged opacity
+            tau=2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(
+                recv[:, 5], 1e-12)), 0.0),
         )
 
         binned = build_tile_lists(pre_b, bcfg)

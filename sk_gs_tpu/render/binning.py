@@ -108,6 +108,42 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     ty = ry + local // rw
     tile_id = jnp.where(valid, ty * cfg.grid_w + tx, T).astype(jnp.int32)
 
+    if cfg.tight_culling:
+        # per-pair tile-ellipse cull: drop the pair when the EXACT minimum
+        # of q(d) = a dx^2 + 2b dx dy + c dy^2 over the tile's pixel box
+        # exceeds tau = 2 ln(255 o) — every pixel then has alpha < 1/255,
+        # which the blend kernels mask anyway (gaussian_render.cu:87), so
+        # the output is bit-unchanged while corner tiles of the rect walk
+        # drop out (~15-40% of pairs depending on opacity/anisotropy).
+        packed = jnp.concatenate(
+            [pre.means2d, pre.conic, pre.tau[:, None],
+             jnp.zeros((n, 2), jnp.float32)], axis=-1)[order]  # [n, 8]
+        pk = packed[gs]                                        # [K, 8] gather
+        cx, cy = pk[:, 0], pk[:, 1]
+        ca, cb, cc, tau_s = pk[:, 2], pk[:, 3], pk[:, 4], pk[:, 5]
+        from .settings import TILE
+        dxlo = (tx * TILE).astype(jnp.float32) - cx
+        dxhi = dxlo + (TILE - 1)
+        dylo = (ty * TILE).astype(jnp.float32) - cy
+        dyhi = dylo + (TILE - 1)
+        inside = (dxlo <= 0) & (0 <= dxhi) & (dylo <= 0) & (0 <= dyhi)
+
+        def q(dx, dy):
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        a_s = jnp.maximum(ca, 1e-12)
+        c_s = jnp.maximum(cc, 1e-12)
+        # min on each box edge: 1-D quadratic minimum, clamped (exact for
+        # the PD conic; global box min is 0 inside or on one of the edges)
+        q1 = q(dxlo, jnp.clip(-cb * dxlo / c_s, dylo, dyhi))
+        q2 = q(dxhi, jnp.clip(-cb * dxhi / c_s, dylo, dyhi))
+        q3 = q(jnp.clip(-cb * dylo / a_s, dxlo, dxhi), dylo)
+        q4 = q(jnp.clip(-cb * dyhi / a_s, dxlo, dxhi), dyhi)
+        min_q = jnp.where(inside, 0.0,
+                          jnp.minimum(jnp.minimum(q1, q2),
+                                      jnp.minimum(q3, q4)))
+        tile_id = jnp.where(min_q <= tau_s + 1e-3, tile_id, T)
+
     # 3. stable sort by tile id (depth order preserved within tile).
     #    gs IS the depth rank and each gaussian hits a tile at most once, so
     #    sorting the fused key (tile << shift | gs) gives the identical
@@ -150,11 +186,13 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
     chunk_src = jnp.clip(starts_all[chunk_tile] + local_off, 0, K)
     chunk_valid = jnp.clip(counts[chunk_tile] - local_off, 0, C)
 
-    # tile-sorted DEPTH-RANK ids + C overrun rows; entries past ``total``
-    # route to the dummy row n. Keeping ranks (not original ids) avoids a
-    # second K-wide gather — consumers reorder their [n]-sized per-gaussian
-    # arrays once via depth_order instead.
-    sort_gauss = jnp.where(jnp.arange(K) < total, gs_sorted, n)
+    # tile-sorted DEPTH-RANK ids + C overrun rows; sentinel entries (culled
+    # pairs and slots past ``total``, tile == T) route to the dummy row n so
+    # their (possibly never-written) gradient rows can only pollute the
+    # discarded pad row. Keeping ranks (not original ids) avoids a second
+    # K-wide gather — consumers reorder their [n]-sized per-gaussian arrays
+    # once via depth_order instead.
+    sort_gauss = jnp.where(tile_sorted < T, gs_sorted, n)
     sort_gauss = jnp.concatenate(
         [sort_gauss, jnp.full((C,), n, jnp.int32)])
     depth_order = jnp.concatenate(

@@ -31,11 +31,16 @@ class PreprocessOut(NamedTuple):
     depths: jnp.ndarray        # [N] view-space z (+inf for culled)
     conic: jnp.ndarray         # [N, 3] inverse 2D covariance (a, b, c)
     colors: jnp.ndarray        # [N, C] RGB (+ extras appended by caller)
-    radius: jnp.ndarray        # [N] int32 pixel radius (0 for culled)
+    radius: jnp.ndarray        # [N] int32 pixel radius (0 for culled;
+    #                            always the reference 3-sigma stat so
+    #                            adaptive density control sees CUDA-parity
+    #                            radii regardless of tight_culling)
     tiles_touched: jnp.ndarray  # [N] int32
     rect_min: jnp.ndarray      # [N, 2] int32 tile coords (x, y)
     rect_max: jnp.ndarray      # [N, 2] int32 tile coords, exclusive
     visible: jnp.ndarray       # [N] bool
+    tau: jnp.ndarray           # [N] alpha>=1/255 quadform threshold
+    #                            2*max(ln(255*opacity), 0) (tight_culling)
 
 
 def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
@@ -139,11 +144,24 @@ def preprocess(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
     py = ndc_to_pix(p_ndc[:, 1], cfg.image_height)
     means2d = jnp.stack([px, py], axis=-1)
 
+    # alpha >= 1/255 quadform threshold: o*exp(-q/2) >= 1/255 <=> q <= tau
+    tau = 2.0 * jnp.maximum(jnp.log(255.0 * g.opacities.reshape(-1)), 0.0)
+    if cfg.tight_culling:
+        # per-axis radii: |dx| <= sqrt(tau * cov_xx) is necessary for
+        # alpha >= 1/255 (Schur marginal bound q >= dx^2/cov_xx), so the
+        # tighter rect drops only pixels BOTH kernels mask anyway; the
+        # intersection with the reference circle keeps it a subset of the
+        # reference rect (pixel-exact output)
+        rx_f = jnp.minimum(jnp.ceil(jnp.sqrt(tau * cov2d[:, 0])), radius_f)
+        ry_f = jnp.minimum(jnp.ceil(jnp.sqrt(tau * cov2d[:, 2])), radius_f)
+    else:
+        rx_f = ry_f = radius_f
+
     # tile rect (getRect, /root/reference/my_ext/_C/src/include/util.cuh)
-    rect_min_x = jnp.clip(((px - radius_f) / TILE).astype(jnp.int32), 0, cfg.grid_w)
-    rect_min_y = jnp.clip(((py - radius_f) / TILE).astype(jnp.int32), 0, cfg.grid_h)
-    rect_max_x = jnp.clip(((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_w)
-    rect_max_y = jnp.clip(((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    rect_min_x = jnp.clip(((px - rx_f) / TILE).astype(jnp.int32), 0, cfg.grid_w)
+    rect_min_y = jnp.clip(((py - ry_f) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    rect_max_x = jnp.clip(((px + rx_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_w)
+    rect_max_y = jnp.clip(((py + ry_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_h)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
     visible = in_front & det_valid & (area > 0)
@@ -166,4 +184,4 @@ def preprocess(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
     rect_min = jnp.stack([rect_min_x, rect_min_y], axis=-1)
     rect_max = jnp.stack([rect_max_x, rect_max_y], axis=-1)
     return PreprocessOut(means2d, depths, conic, colors, radius,
-                         tiles_touched, rect_min, rect_max, visible)
+                         tiles_touched, rect_min, rect_max, visible, tau)

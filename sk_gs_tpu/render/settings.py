@@ -30,6 +30,13 @@ class RasterConfig(NamedTuple):
     near: float = 0.2            # frustum cull threshold on view-space z
     #                              (colmap variant, gaussian_preprocess_colmap.cu:73)
     use_pallas: bool = True      # False -> pure-XLA blend (oracle-adjacent path)
+    tight_culling: bool = True   # opacity-aware per-axis rects + per-pair
+    #                              tile-ellipse cull. OUTPUT-IDENTICAL to the
+    #                              reference rects: every pair removed has
+    #                              max alpha < 1/255 over its tile (marginal
+    #                              bound q >= dx^2/cov_xx), and both kernels
+    #                              mask alpha < 1/255 anyway
+    #                              (gaussian_render.cu:87: skip alpha<1/255)
 
     @property
     def grid_w(self) -> int:

@@ -59,9 +59,14 @@ INTERPRET = False
 
 # implementation knobs (A/B-tested on hardware via tools/kernel_lab.py);
 # all variants are numerically equivalent up to ~1 ulp re-association
+# Production defaults — A/B-measured on v5e (tools/kernel_lab.py, round 2):
+# cumprod 'roll' ~= 'concat' (+-0.1 ms); bwd cumsum 'mxu_default' (one bf16
+# MXU pass, grads within ~0.3% of exact — see test_tile_kernel grad-noise
+# bound) beats HIGHEST by ~1.2 ms and exact HS adds by ~0.26 ms; DMA gating
+# removes the dead-tail DMA traffic.
 IMPL = {
-    'cumprod': 'concat',   # 'concat' (shift via static slice) | 'roll'
-    'cumsum': 'mxu',       # 'mxu' (triangular matmul, HIGHEST) |
+    'cumprod': 'roll',     # 'concat' (shift via static slice) | 'roll'
+    'cumsum': 'mxu_default',  # 'mxu' (triangular matmul, HIGHEST) |
     #                        'mxu_default' (bf16 passes) | 'concat' (HS adds)
     'gate_dma': True,      # skip DMA for the dead tail chunks
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
@@ -186,18 +191,29 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     tile = ct_ref[i]
     gate = IMPL['gate_dma']
 
-    @pl.when((i == 0) & (sv_ref[0] > 0) if gate else (i == 0))
-    def _():
-        _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
+    if IMPL['diag'] != 'nodma':
+        @pl.when((i == 0) & (sv_ref[0] > 0) if gate else (i == 0))
+        def _():
+            _feat_dma(feat_hbm, feat_buf, sems, 0, sc_ref[0]).start()
 
-    @pl.when((i + 1 < nc) & (sv_ref[jnp.minimum(i + 1, nc - 1)] > 0)
-             if gate else (i + 1 < nc))
-    def _():
-        _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2, sc_ref[i + 1]).start()
+        @pl.when((i + 1 < nc) & (sv_ref[jnp.minimum(i + 1, nc - 1)] > 0)
+                 if gate else (i + 1 < nc))
+        def _():
+            _feat_dma(feat_hbm, feat_buf, sems, (i + 1) % 2,
+                      sc_ref[i + 1]).start()
 
-    @pl.when(sv_ref[i] > 0 if gate else i >= 0)
-    def _():
-        _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
+        @pl.when(sv_ref[i] > 0 if gate else i >= 0)
+        def _():
+            _feat_dma(feat_hbm, feat_buf, sems, i % 2, sc_ref[i]).wait()
+
+    if IMPL['diag'] == 'nomath':
+        @pl.when(sv_ref[i] > 0)
+        def _():
+            feat = feat_buf[i % 2]
+            for k in range(ch):
+                color_ref[0, k, :] += jnp.broadcast_to(
+                    jnp.sum(feat[:, 6 + k:7 + k], axis=0), (P,))
+        return
 
     @pl.when(start)
     def _():
@@ -265,6 +281,8 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
     # the dummy row n, whose gradient is sliced away).
     dma_on = sv_ref[i] > 0
     live = dma_on & (start | (jnp.max(t_run[:]) >= T_EPS))
+    if IMPL['diag'] == 'nomath':
+        live = dma_on & (i < 0)  # always take the zero-store path
 
     @pl.when(live)
     def _():

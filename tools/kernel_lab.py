@@ -26,8 +26,9 @@ def main():
     ap.add_argument('--chunk', type=int, default=128)
     ap.add_argument('--size', type=int, default=400)
     ap.add_argument('--n', type=int, default=20000)
-    ap.add_argument('--reps', type=int, default=16)
+    ap.add_argument('--reps', type=int, default=32)
     ap.add_argument('--cap', type=int, default=2 ** 17)
+    ap.add_argument('--diag', default='none')
     ap.add_argument('--sweep', action='store_true',
                     help='run the predefined knob sweep in one process')
     args = ap.parse_args()
@@ -40,20 +41,22 @@ def main():
 
     if args.sweep:
         combos = [
-            dict(cumprod='roll', cumsum='mxu', gate=0, chunk=128),   # round-1
-            dict(cumprod='concat', cumsum='mxu', gate=1, chunk=128),
-            dict(cumprod='concat', cumsum='concat', gate=1, chunk=128),
-            dict(cumprod='concat', cumsum='mxu_default', gate=1, chunk=128),
-            dict(cumprod='concat', cumsum='concat', gate=1, chunk=64),
-            dict(cumprod='concat', cumsum='concat', gate=1, chunk=256),
+            dict(cumprod='roll', cumsum='mxu_default', gate=1, chunk=128),
+            dict(cumprod='roll', cumsum='concat', gate=1, chunk=128),
+            dict(cumprod='roll', cumsum='mxu_default', gate=1, chunk=128,
+                 diag='nomath'),
+            dict(cumprod='roll', cumsum='mxu_default', gate=1, chunk=128,
+                 diag='nodma'),
+            dict(cumprod='roll', cumsum='mxu_default', gate=1, chunk=128),
         ]
         for c in combos:
             run_combo(args, **c)
     else:
-        run_combo(args, args.cumprod, args.cumsum, args.gate, args.chunk)
+        run_combo(args, args.cumprod, args.cumsum, args.gate, args.chunk,
+                  args.diag)
 
 
-def run_combo(args, cumprod, cumsum, gate, chunk):
+def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
     import jax, jax.numpy as jnp
     from sk_gs_tpu.render import RasterConfig
     from sk_gs_tpu.render.settings import GaussianInputs, ViewParams
@@ -65,6 +68,7 @@ def run_combo(args, cumprod, cumsum, gate, chunk):
     tk.IMPL['cumprod'] = cumprod
     tk.IMPL['cumsum'] = cumsum
     tk.IMPL['gate_dma'] = bool(gate)
+    tk.IMPL['diag'] = diag
     print(f"\n== IMPL={tk.IMPL} chunk={chunk} size={args.size} n={args.n} ==",
           flush=True)
 
@@ -171,10 +175,14 @@ def run_combo(args, cumprod, cumsum, gate, chunk):
 
     t_f = scan_bench('pallas fwd', body_fwd)
     t_b = scan_bench('pallas bwd', body_bwd)
-    t_fb = scan_bench('blend fwd+bwd (vjp)', body_full)
-    print(f"summary: fwd {t_f*1e3:.3f}  bwd {t_b*1e3:.3f}  "
-          f"vjp_total {t_fb*1e3:.3f}  "
-          f"(overhead vs f+b: {1e3*(t_fb-t_f-t_b):.3f} ms)", flush=True)
+    if diag == 'none':
+        t_fb = scan_bench('blend fwd+bwd (vjp)', body_full)
+        print(f"summary: fwd {t_f*1e3:.3f}  bwd {t_b*1e3:.3f}  "
+              f"vjp_total {t_fb*1e3:.3f}  "
+              f"(overhead vs f+b: {1e3*(t_fb-t_f-t_b):.3f} ms)", flush=True)
+    else:
+        print(f"summary[{diag}]: fwd {t_f*1e3:.3f}  bwd {t_b*1e3:.3f}",
+              flush=True)
 
 
 if __name__ == '__main__':
