@@ -38,6 +38,9 @@ class BinnedSplats(NamedTuple):
     chunk_start_flag: jnp.ndarray  # [num_chunks] int32 1 where a tile's first chunk
     chunk_src: jnp.ndarray      # [num_chunks] int32 start row in sort order
     chunk_valid: jnp.ndarray    # [num_chunks] int32 valid entries (<= C)
+    tile_start: jnp.ndarray     # [T] int32 first row of each tile's segment
+    #                             in the tile-sorted order (== starts_all[:T])
+    tile_count: jnp.ndarray     # [T] int32 segment length per tile
     tile_nonempty: jnp.ndarray  # [T] bool: tile has >= 1 splat (kernel output
     #                             blocks of empty tiles are garbage -> masked)
     num_pairs: jnp.ndarray      # [] int32 pairs emitted (pre-clip)
@@ -205,6 +208,8 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
         chunk_start_flag=chunk_start_flag,
         chunk_src=chunk_src,
         chunk_valid=chunk_valid,
+        tile_start=starts_all[:-1],
+        tile_count=counts,
         tile_nonempty=counts > 0,
         num_pairs=total,
         overflow=total > K,

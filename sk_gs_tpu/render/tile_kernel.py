@@ -68,7 +68,12 @@ IMPL = {
     'cumprod': 'roll',     # 'concat' (shift via static slice) | 'roll'
     'cumsum': 'mxu_default',  # 'mxu' (triangular matmul, HIGHEST) |
     #                        'mxu_default' (bf16 passes) | 'concat' (HS adds)
-    'gate_dma': True,      # skip DMA for the dead tail chunks
+    'gate_dma': True,      # skip DMA for the dead tail chunks (chunk sched)
+    'schedule': 'tile',    # 'tile': one grid step per tile, dynamic inner
+    #                        fori_loop over its chunks (no static padded
+    #                        chunk grid, no dead grid steps, transmittance
+    #                        early-out gates the math) | 'chunk': round-1
+    #                        static grid of padded chunks
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
     #                        the DMA pipeline but trivializes the chunk math;
     #                        'nodma' keeps the math on stale buffer contents
@@ -363,6 +368,249 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
             osems.at[(i - 1) % 2]).wait()
 
 
+# --------------------------------------------------------------- tile sched
+# One grid step per tile; a dynamic fori_loop walks the tile's chunks
+# (count from scalar prefetch). Mirrors the CUDA per-tile thread-block
+# structure (gaussian_render.cu:17-112) far more closely than the static
+# chunk grid: no grid steps for padding, per-chunk fixed cost collapses to
+# a loop iteration, and the transmittance early-out gates the math of the
+# remaining chunks. Total inner iterations = live chunks only.
+
+
+def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
+                     t_run, feat_buf, sems, *, grid_w: int, ch: int, C: int):
+    t = pl.program_id(0)
+    begin = ts_ref[t]
+    cnt = tc_ref[t]
+    nchunks = (cnt + C - 1) // C
+
+    color_ref[:] = jnp.zeros_like(color_ref)
+    t_run[:] = jnp.ones_like(t_run)
+    px, py = _pixel_coords(t, grid_w)
+
+    @pl.when(nchunks > 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, 0, begin).start()
+
+    def body(j, alive):
+        # prefetch j+1 while j's math runs (last chunk reads into the next
+        # tile's rows / the +C pad tail — masked by n_valid, always in
+        # bounds). DMAs stay ungated on ``alive`` so wait-accounting is
+        # trivial; a dead iteration costs ~a semaphore check.
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _feat_dma(feat_hbm, feat_buf, sems, (j + 1) % 2,
+                      begin + (j + 1) * C).start()
+
+        _feat_dma(feat_hbm, feat_buf, sems, j % 2, begin + j * C).wait()
+
+        @pl.when(alive)
+        def _():
+            feat = feat_buf[j % 2]
+            n_valid = jnp.minimum(cnt - j * C, C)
+            (alpha, _, _, _, _, _, om, p_excl, contrib, w,
+             t_new) = _blend_math(feat, px, py, t_run[:], n_valid)
+            for k in range(ch):
+                col_k = feat[:, 6 + k:7 + k]
+                color_ref[0, k, :] += jnp.sum(w * col_k, axis=0)
+            t_run[:] = t_new
+        return jnp.max(t_run[:]) >= T_EPS
+
+    jax.lax.fori_loop(0, nchunks, body, True)
+    alpha_ref[0, 0, :] = 1.0 - t_run[0]
+
+
+def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
+                     cf_ref, af_ref, gfeat_hbm, t_run, c_run, pend,
+                     feat_buf, gfeat_buf, sems, osems, *, grid_w: int,
+                     ch: int, C: int):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    begin = ts_ref[t]
+    cnt = tc_ref[t]
+    nchunks = (cnt + C - 1) // C
+
+    @pl.when(t == 0)
+    def _():
+        pend[0] = 0
+        pend[1] = 0
+
+    @pl.when(nchunks > 0)
+    def _():
+        _feat_dma(feat_hbm, feat_buf, sems, 0, begin).start()
+
+    # Drain the previous tiles' outstanding grad stores BEFORE issuing ours:
+    # their zeroed last-chunk tails overlap our first rows, and two in-flight
+    # DMAs to overlapping HBM are unordered. The chunk-0 feature DMA is
+    # already in flight, hiding the (almost always already-complete) drain.
+    for s in (0, 1):
+        @pl.when((nchunks > 0) & (pend[s] > 0))
+        def _(s=s):
+            pltpu.make_async_copy(
+                gfeat_buf.at[s], gfeat_hbm.at[pl.ds(begin, C), :],
+                osems.at[s]).wait()  # descriptor only fixes the size
+            pend[s] = 0
+
+    t_run[:] = jnp.ones_like(t_run)
+    c_run[:] = jnp.zeros_like(c_run)
+    px, py = _pixel_coords(t, grid_w)
+
+    tf = 1.0 - af_ref[0, 0:1, :]                                   # (1, P)
+    g_alpha_out = galpha_ref[0, 0:1, :]                            # (1, P)
+
+    def body(j, alive):
+        s = j % 2
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _feat_dma(feat_hbm, feat_buf, sems, (j + 1) % 2,
+                      begin + (j + 1) * C).start()
+
+        _feat_dma(feat_hbm, feat_buf, sems, s, begin + j * C).wait()
+
+        # this slot's previous store (chunk j-2) must drain before we
+        # overwrite its buffer (pend[s] is 0 or 1 by construction)
+        @pl.when(pend[s] > 0)
+        def _():
+            pltpu.make_async_copy(
+                gfeat_buf.at[s], gfeat_hbm.at[pl.ds(begin, C), :],
+                osems.at[s]).wait()
+            pend[s] = 0
+
+        n_valid = jnp.minimum(cnt - j * C, C)
+
+        @pl.when(alive)
+        def _():
+            feat = feat_buf[s]
+            (alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w,
+             t_new) = _blend_math(feat, px, py, t_run[:], n_valid)
+            inv_om = 1.0 / om                                      # (C, P)
+            g_alpha_e = g_alpha_out * tf * inv_om                  # (C, P)
+            wc_all = jnp.concatenate(
+                [w * feat[:, 6 + k:7 + k] for k in range(ch)], axis=1)
+            incl_all = _cumsum_sublanes(wc_all)
+            gcols = []
+            for k in range(ch):
+                col_k = feat[:, 6 + k:7 + k]
+                wc = wc_all[:, k * P:(k + 1) * P]
+                c_incl = c_run[k:k + 1, :] + incl_all[:, k * P:(k + 1) * P]
+                s_k = cf_ref[0, k:k + 1, :] - c_incl               # suffix
+                gcol_out_k = gcolor_ref[0, k:k + 1, :]
+                g_alpha_e += gcol_out_k * (col_k * p_excl - s_k * inv_om)
+                gcols.append(jnp.sum(gcol_out_k * w, axis=1, keepdims=True))
+                c_run[k:k + 1, :] += jnp.sum(wc, axis=0, keepdims=True)
+            g_alpha_e = jnp.where(contrib & keep, g_alpha_e, 0.0)
+
+            g_power = alpha_raw * g_alpha_e
+            a = feat[:, 2:3]
+            b = feat[:, 3:4]
+            c = feat[:, 4:5]
+            gx = jnp.sum((a * dx + b * dy) * g_power, axis=1, keepdims=True)
+            gy = jnp.sum((c * dy + b * dx) * g_power, axis=1, keepdims=True)
+            ga = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
+            gb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
+            gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
+            go = jnp.sum(g * g_alpha_e, axis=1, keepdims=True)
+            pad = jnp.zeros((C, NUM_FEAT - 6 - ch), feat.dtype)
+            grads = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad],
+                                    axis=1)
+            # zero the tail: rows past n_valid belong to the NEXT tile's
+            # segment, which re-writes them after the start-of-program drain
+            row = jax.lax.broadcasted_iota(jnp.int32, grads.shape, 0)
+            gfeat_buf[s] = jnp.where(row < n_valid, grads, 0.0)
+            t_run[:] = t_new
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            # saturated: remaining entries have zero grad, but their HBM
+            # rows must still be cleared (the buffer is uninitialized)
+            gfeat_buf[s] = jnp.zeros_like(gfeat_buf[s])
+
+        pltpu.make_async_copy(
+            gfeat_buf.at[s], gfeat_hbm.at[pl.ds(begin + j * C, C), :],
+            osems.at[s]).start()
+        pend[s] = pend[s] + 1
+        return jnp.max(t_run[:]) >= T_EPS
+
+    jax.lax.fori_loop(0, nchunks, body, True)
+
+    # end of grid: drain whatever is still in flight (pend[s] <= 1)
+    @pl.when(t == nt - 1)
+    def _():
+        for s in (0, 1):
+            @pl.when(pend[s] > 0)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    gfeat_buf.at[s], gfeat_hbm.at[pl.ds(begin, C), :],
+                    osems.at[s]).wait()
+                pend[s] = 0
+
+
+def _pallas_forward_tile(feat_s, tile_start, tile_count, cfg: RasterConfig,
+                         ch: int):
+    T = cfg.num_tiles
+    C = cfg.chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, ch, P), lambda t, ts, tc: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, ts, tc: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    color, alpha = pl.pallas_call(
+        functools.partial(_fwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, ch, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(tile_start, tile_count, feat_s)
+    return color, alpha
+
+
+def _pallas_backward_tile(feat_s, tile_start, tile_count, color, alpha,
+                          g_color, g_alpha, cfg: RasterConfig, ch: int):
+    T = cfg.num_tiles
+    C = cfg.chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec((1, ch, P), lambda t, ts, tc: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, ts, tc: (t, 0, 0)),
+            pl.BlockSpec((1, ch, P), lambda t, ts, tc: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, ts, tc: (t, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((ch, P), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (gfeat,) = pl.pallas_call(
+        functools.partial(_bwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(feat_s.shape, jnp.float32)],
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, feat_s, g_color, g_alpha, color, alpha)
+    return gfeat
+
+
 def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
                     cfg: RasterConfig, ch: int):
     nc = num_chunks(cfg)
@@ -442,7 +690,8 @@ def blend_chunks_pallas(binned: BinnedSplats, xys, conic, opa, col,
     do = binned.depth_order
     return _blend_custom(binned.sort_gauss, binned.chunk_tile,
                          binned.chunk_start_flag, binned.chunk_valid,
-                         binned.chunk_src, binned.tile_nonempty,
+                         binned.chunk_src, binned.tile_start,
+                         binned.tile_count, binned.tile_nonempty,
                          xys[do], conic[do], opa[do], col[do], cfg)
 
 
@@ -456,42 +705,55 @@ def _build_feat_sorted(sort_gauss, xys, conic, opa, col):
     return feat[sort_gauss]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
 def _blend_custom(sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
-                  tile_nonempty, xys, conic, opa, col, cfg: RasterConfig):
+                  tile_start, tile_count, tile_nonempty, xys, conic, opa, col,
+                  cfg: RasterConfig):
     out, _ = _blend_fwd(sort_gauss, chunk_tile, chunk_start, chunk_valid,
-                        chunk_src, tile_nonempty, xys, conic, opa, col, cfg)
+                        chunk_src, tile_start, tile_count, tile_nonempty,
+                        xys, conic, opa, col, cfg)
     return out
 
 
 def _blend_fwd(sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
-               tile_nonempty, xys, conic, opa, col, cfg: RasterConfig):
+               tile_start, tile_count, tile_nonempty, xys, conic, opa, col,
+               cfg: RasterConfig):
     ch = col.shape[-1]
     assert ch <= NUM_FEAT - 6, f"too many color channels: {ch}"
     feat_s = _build_feat_sorted(sort_gauss, xys, conic, opa, col)
-    color, alpha = _pallas_forward(feat_s, chunk_tile, chunk_start,
-                                   chunk_valid, chunk_src, cfg, ch)
-    # empty tiles were never visited -> mask their garbage blocks
-    ne = tile_nonempty[:, None, None]
-    color = jnp.where(ne, color, 0.0)
-    alpha = jnp.where(ne, alpha, 0.0)
+    if IMPL['schedule'] == 'tile':
+        # empty tiles zero their own blocks in-kernel: no masking needed
+        color, alpha = _pallas_forward_tile(feat_s, tile_start, tile_count,
+                                            cfg, ch)
+    else:
+        color, alpha = _pallas_forward(feat_s, chunk_tile, chunk_start,
+                                       chunk_valid, chunk_src, cfg, ch)
+        # empty tiles were never visited -> mask their garbage blocks
+        ne = tile_nonempty[:, None, None]
+        color = jnp.where(ne, color, 0.0)
+        alpha = jnp.where(ne, alpha, 0.0)
     # public layout: (T, P, ch) to match blend_xla
     out = (color.transpose(0, 2, 1), alpha[:, 0, :])
     residuals = (sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
-                 feat_s, color, alpha, xys.shape[0])
+                 tile_start, tile_count, feat_s, color, alpha, xys.shape[0])
     return out, residuals
 
 
 def _blend_bwd(cfg, residuals, cotangents):
-    (sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src, feat_s,
-     color, alpha, n_rows) = residuals
+    (sort_gauss, chunk_tile, chunk_start, chunk_valid, chunk_src,
+     tile_start, tile_count, feat_s, color, alpha, n_rows) = residuals
     g_tile_color, g_tile_alpha = cotangents
     ch = color.shape[1]
     g_color = g_tile_color.transpose(0, 2, 1)  # (T, ch, P)
     g_alpha = g_tile_alpha[:, None, :]         # (T, 1, P)
-    gfeat = _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid,
-                             chunk_src, color, alpha, g_color, g_alpha,
-                             cfg, ch)
+    if IMPL['schedule'] == 'tile':
+        gfeat = _pallas_backward_tile(feat_s, tile_start, tile_count,
+                                      color, alpha, g_color, g_alpha,
+                                      cfg, ch)
+    else:
+        gfeat = _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid,
+                                 chunk_src, color, alpha, g_color, g_alpha,
+                                 cfg, ch)
     # scatter-add per-entry grads back to (N+1)-padded rows (the CUDA
     # atomicAdd equivalent, conflict-free by construction); only the real
     # feature columns — the 128-lane padding carries no gradient
@@ -504,8 +766,8 @@ def _blend_bwd(cfg, residuals, cotangents):
     zero_int = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     zero_ne = np.zeros((color.shape[0],), dtype=jax.dtypes.float0)
     return (zero_int(sort_gauss), zero_int(chunk_tile), zero_int(chunk_start),
-            zero_int(chunk_valid), zero_int(chunk_src), zero_ne,
-            g_xys, g_conic, g_opa, g_col)
+            zero_int(chunk_valid), zero_int(chunk_src), zero_int(tile_start),
+            zero_int(tile_count), zero_ne, g_xys, g_conic, g_opa, g_col)
 
 
 _blend_custom.defvjp(_blend_fwd, _blend_bwd)
