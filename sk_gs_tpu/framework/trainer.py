@@ -22,6 +22,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..data.base import Scene, SceneMeta
 from ..models import optim, sk_gs, sk_gs_ops, skeleton, superpoints
@@ -79,6 +80,33 @@ def weight_smooth_loss(w, knn_index):
     return jnp.mean(jnp.abs(w[:, None] - w[knn_index]))
 
 
+# ------------------------------------------------------- multi-chip slicing
+
+# params leaves / model fields with a leading Gaussian-capacity axis: under
+# the mesh 'gs' axis each chip computes the per-Gaussian work (deform,
+# preprocess, per-point losses) on its contiguous 1/n_gs slice. Gradients
+# w.r.t. the FULL (replicated) params flow through the dynamic-slice
+# transpose (zeros off-slice), so a psum over 'gs' reassembles exact
+# full-capacity gradients — the TPU equivalent of the reference's
+# single-GPU whole-scene backward.
+PER_POINT_PARAMS = ('xyz', 'f_dc', 'f_rest', 'opacity', 'scaling',
+                    'rotation', 'hyper', 'sp_W')
+PER_POINT_FIELDS = ('alive', 'max_radii2d', 'xyz_grad_accum', 'denom',
+                    'sp_weights', 'sp_knn', 'p2sp')
+
+
+def slice_model_gs(model: SKGSModel, i, n_gs: int):
+    """Contiguous capacity slice ``i`` of ``n_gs`` of the per-point leaves
+    (superpoint/skeleton/net leaves stay replicated)."""
+    n = model.capacity
+    nl = n // n_gs
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * nl, nl, 0)
+    params = {k: (sl(v) if k in PER_POINT_PARAMS else v)
+              for k, v in model.params.items()}
+    fields = {f: sl(getattr(model, f)) for f in PER_POINT_FIELDS}
+    return model._replace(params=params, **fields)
+
+
 @dataclass
 class TrainerState:
     model: SKGSModel
@@ -106,9 +134,29 @@ class SKGSTrainer:
                  seed: int = 0,
                  clip_norm: float = 0.0,
                  batch_views: int = 1,
-                 optimizer: str = 'adam'):
+                 optimizer: str = 'adam',
+                 mesh=None):
         self.cfg = cfg
         self.rcfg = rcfg
+        # multi-chip training: a jax Mesh with ('view', 'gs') axes. Views
+        # data-parallel over 'view' (grad psum over ICI); per-Gaussian work
+        # and the rasterizer sharded over 'gs' (all-to-all splat exchange to
+        # tile-row bands). None = single-chip step (identical math).
+        self.mesh = mesh
+        if mesh is not None:
+            n_view, n_gs = mesh.shape['view'], mesh.shape['gs']
+            if batch_views % n_view != 0:
+                raise ValueError(
+                    f"batch_views {batch_views} not divisible by mesh view "
+                    f"axis {n_view}")
+            if model.capacity % n_gs != 0:
+                raise ValueError(
+                    f"capacity {model.capacity} not divisible by mesh gs "
+                    f"axis {n_gs}")
+            if rcfg.grid_h % n_gs != 0:
+                raise ValueError(
+                    f"grid_h {rcfg.grid_h} not divisible by mesh gs axis "
+                    f"{n_gs} (pad image height)")
         self.scene = scene
         self.eval_scene = eval_scene
         self.meta = meta
@@ -247,7 +295,18 @@ class SKGSTrainer:
     def _build_step_fn(self, family: str) -> Callable:
         cfg, rcfg = self.cfg, self.rcfg
         update_cache = family == 'sp'
+        # sk stages cache the per-frame skeleton-net outputs for the
+        # test_time_interpolate eval path (kinematic, sk_gs.py:1077-1079)
+        update_sk_cache = family == 'sk'
         image_method = self.loss_w.cfg('image').get('method', 'l1')
+        # multi-chip: per-sample losses are computed on the 'gs' slice (or
+        # replicated for M-level terms) and scaled by 1/n_gs so the psum
+        # over the mesh reproduces the single-chip values exactly
+        par = self.mesh is not None
+        n_gs_ax = self.mesh.shape['gs'] if par else 1
+        n_view_ax = self.mesh.shape['view'] if par else 1
+        loss_scale = 1.0 / n_gs_ax
+        exch_cap = max(rcfg.pair_capacity // max(n_gs_ax, 1), 1024)
         with_motion_reg = (family in ('sp', 'init')
                            and any(self.loss_w.ever_nonzero(n)
                                    for n in ('elastic', 'acc', 'arap')))
@@ -425,17 +484,21 @@ class SKGSTrainer:
                 * m.alive[:, None])
             return losses
 
-        @partial(jax.jit, static_argnames=('stage',))
-        def train_step(model: SKGSModel, opt_state, view: ViewParams,
-                       image, t, time_id, sched, key, bg, gs_knn_index,
-                       stage: str):
+        def _core(stage: str, model: SKGSModel, opt_state, view: ViewParams,
+                  image, t, time_id, sched, kns, kbs, k_other, bg,
+                  gs_knn_index):
+            """The full train step body. Single-chip: called directly under
+            jit. Multi-chip: runs per-chip inside shard_map over the
+            ('view', 'gs') mesh — samples sharded over 'view', per-Gaussian
+            work over 'gs', with psums reassembling the exact single-chip
+            update (grads through the slice transpose, losses via the
+            1/n_gs scaling)."""
             # sched packs [stage_rel_step, noise_scale, *loss_weights] as ONE
             # device array: per-scalar uploads through the tunnel are ~10 ms
             s_rel = sched[0]
             noise_scale = sched[1]
             lw = {name: sched[2 + i] for i, name in enumerate(LW_NAMES)}
             lrs = self.lr_trees_traced(s_rel)
-            k_noise, k_other, k_bg = jax.random.split(key, 3)
             # grad accumulation (reference nominal-batch-size,
             # my_ext/framework.py:264-306): stacked [K, ...] sample inputs
             batched = view.Tw2v.ndim == 3
@@ -454,14 +517,29 @@ class SKGSTrainer:
                         checker=bg, reference_rgb=image[..., :3])
                     alpha_t = image[..., 3:4]
                     image = image[..., :3] * alpha_t + bg_s * (1.0 - alpha_t)
-                m = model._replace(params=params)
+                m_full = model._replace(params=params)
+                if par:
+                    m = slice_model_gs(m_full, jax.lax.axis_index('gs'),
+                                       n_gs_ax)
+                    m2d_off = jax.lax.dynamic_slice_in_dim(
+                        m2d_off, jax.lax.axis_index('gs') * m.capacity,
+                        m.capacity, 0)
+                    knn_index = jax.lax.dynamic_slice_in_dim(
+                        gs_knn_index, jax.lax.axis_index('gs') * m.capacity,
+                        m.capacity, 0)
+                else:
+                    m = m_full
+                    knn_index = gs_knn_index
                 out_def = forward_deltas(cfg, m, t, stage, time_id=time_id,
                                          key=k_noise, noise_scale=noise_scale)
-                p = params
+                p = m.params
                 scaling = p['scaling']
                 if family in ('init',):
                     # uniform scales during init (get_scaling, sk_gs.py:560-564)
-                    mean_s = masked_mean(scaling, m.alive[:, None])
+                    # (global masked mean: under par the slice-local mean
+                    # would differ from the single-chip value)
+                    mean_s = masked_mean(m_full.params['scaling'],
+                                         m_full.alive[:, None])
                     scaling = jnp.broadcast_to(mean_s, scaling.shape)
                 scales = jnp.exp(scaling) + out_def.d_scaling
                 rot = p['rotation'] + out_def.d_rotation
@@ -477,9 +555,31 @@ class SKGSTrainer:
                 g = GaussianInputs(
                     means3d=p['xyz'] + out_def.d_xyz, scales=scales,
                     rotations=rot, opacities=opac, sh=sh, mask=m.alive)
-                out = render(g, view, rcfg,
-                             active_sh_degree=m.active_sh_degree,
-                             means2d_offset=m2d_off)
+                if par:
+                    # gs-sharded raster: local preprocess -> all-to-all splat
+                    # exchange to tile-row bands -> band-local (Pallas)
+                    # blend -> row all-gather (SSIM windows need the full
+                    # image; the gather transpose reduce-scatters the pixel
+                    # grads back to the owning band)
+                    from ..parallel.sharded_render import exchange_render_band
+                    from ..render.preprocess import preprocess as _prep
+                    pre = _prep(g, view, rcfg,
+                                active_sh_degree=m.active_sh_degree)
+                    pre = pre._replace(means2d=pre.means2d + m2d_off)
+                    band_img, band_opac, ovf = exchange_render_band(
+                        pre, opac, rcfg, 'gs', n_gs_ax, exch_cap)
+                    out = {
+                        'images': jax.lax.all_gather(band_img, 'gs', axis=0,
+                                                     tiled=True),
+                        'opacity': jax.lax.all_gather(band_opac, 'gs', axis=0,
+                                                      tiled=True),
+                        'radii': pre.radius,
+                        'overflow': ovf,
+                    }
+                else:
+                    out = render(g, view, rcfg,
+                                 active_sh_degree=m.active_sh_degree,
+                                 means2d_offset=m2d_off)
                 img = composite_background(out['images'], out['opacity'],
                                            bg_s)
 
@@ -492,8 +592,17 @@ class SKGSTrainer:
                 if family == 'sp':
                     w = aux['knn_w']
                     losses['sparse'] = lw['sparse'] * weight_sparsity_loss(w)
-                    losses['smooth'] = lw['smooth'] * weight_smooth_loss(
-                        w, gs_knn_index)
+                    if par:
+                        # neighbors live on other gs shards: gather the full
+                        # weight table, difference against local rows (mean
+                        # over the slice + the 1/n_gs scale = global mean)
+                        w_full = jax.lax.all_gather(w, 'gs', axis=0,
+                                                    tiled=True)
+                        losses['smooth'] = lw['smooth'] * jnp.mean(
+                            jnp.abs(w[:, None] - w_full[knn_index]))
+                    else:
+                        losses['smooth'] = lw['smooth'] * weight_smooth_loss(
+                            w, knn_index)
                     # joint discovery losses
                     cost = skeleton.joint_cost_matrix(
                         params['joint_pos'],
@@ -514,9 +623,22 @@ class SKGSTrainer:
                         cost_f, alive2)
                     aux['joint_cost_now'] = jax.lax.stop_gradient(cost_f)
                     if with_sp_extras:
+                        pts_t_e = p['xyz'] + out_def.d_xyz
+                        aux_e, m_e = aux, m
+                        if par:
+                            # re_pos needs the full point->superpoint segment
+                            # reduce: gather the per-point pieces and compute
+                            # replicated (cheap M-level math; /n_gs restores
+                            # the value after the mesh psum)
+                            gath = lambda x: jax.lax.all_gather(
+                                x, 'gs', axis=0, tiled=True)
+                            pts_t_e = gath(pts_t_e)
+                            aux_e = dict(aux)
+                            aux_e['knn_w'] = gath(aux['knn_w'])
+                            aux_e['knn_i'] = gath(aux['knn_i'])
+                            m_e = m_full
                         losses.update(sp_extra_losses(
-                            params, m, aux, p['xyz'] + out_def.d_xyz,
-                            a, b, is_root, lw))
+                            params, m_e, aux_e, pts_t_e, a, b, is_root, lw))
                     if with_guided:
                         losses.update(guided_losses(params, m, aux, t,
                                                     s_rel, lw))
@@ -524,16 +646,16 @@ class SKGSTrainer:
                     # distill vs cached sp motion (loss_guided_sk_v2,
                     # sk_gs.py:1467-1487)
                     sp_tr, sp_d_rot, sp_d_scale = sk_gs.split_sp_cache(
-                        cfg, model.sp_cache[time_id])
+                        cfg, m.sp_cache[time_id])
                     sp_tr = jax.lax.stop_gradient(sp_tr)
                     points = jax.lax.stop_gradient(p['xyz'])
                     sp_d_xyz = superpoints.warp_points(
-                        points, sp_tr, model.sp_weights, model.sp_knn,
-                        cfg.warp_method, model.p2sp)
+                        points, sp_tr, m.sp_weights, m.sp_knn,
+                        cfg.warp_method, m.p2sp)
                     sp_rot_b = superpoints.blend_attr(
-                        sp_d_rot, model.sp_weights, model.sp_knn)
+                        sp_d_rot, m.sp_weights, m.sp_knn)
                     sp_scale_b = superpoints.blend_attr(
-                        sp_d_scale, model.sp_weights, model.sp_knn)
+                        sp_d_scale, m.sp_weights, m.sp_knn)
                     losses['rgb'] = jax.lax.stop_gradient(losses['rgb'])
                     losses['ssim'] = jax.lax.stop_gradient(losses['ssim'])
                     losses['cmp_t'] = lw['cmp_t'] * jnp.mean(
@@ -551,20 +673,36 @@ class SKGSTrainer:
                     from ..models import regularizers as reg
                     from ..ops.knn import knn as knn_op
                     pts_t = p['xyz'] + out_def.d_xyz
-                    far = jnp.where(m.alive[:, None], pts_t,
+                    xyz_a, alive_a = p['xyz'], m.alive
+                    if par:
+                        # KNN needs the whole point set: gather the warped
+                        # points (grads reduce-scatter back through the
+                        # gather transpose), compute replicated
+                        pts_t = jax.lax.all_gather(pts_t, 'gs', axis=0,
+                                                   tiled=True)
+                        xyz_a = m_full.params['xyz']
+                        alive_a = m_full.alive
+                    far = jnp.where(alive_a[:, None], pts_t,
                                     pts_t + 1e6)
                     _, nn_idx = knn_op(jax.lax.stop_gradient(far),
                                        jax.lax.stop_gradient(far),
                                        self.gs_knn_num + 1)
                     losses['arap_p'] = lw['arap_p'] * reg.points_arap_loss(
-                        p['xyz'], pts_t, nn_idx[:, 1:], m.alive)
+                        xyz_a, pts_t, nn_idx[:, 1:], alive_a)
                 if with_motion_reg:
-                    losses = motion_reg_losses(losses, params, m, t, lw,
+                    # M-level (superpoint trajectories; the init family
+                    # samples rows of the replicated full xyz): replicated
+                    losses = motion_reg_losses(losses, params, m_full, t, lw,
                                                k_other)
                 if with_cnet:
-                    losses = cnet_loss(losses, params, m, t,
+                    losses = cnet_loss(losses, p, m, t,
                                        p['xyz'] + out_def.d_xyz, lw, stage)
 
+                if par:
+                    # uniform 1/n_gs: slice-mean losses sum to the global
+                    # mean across the gs psum; replicated (image/M-level)
+                    # losses are counted once
+                    losses = {k: v * loss_scale for k, v in losses.items()}
                 total = sum(losses.values())
                 aux['losses'] = losses
                 aux['psnr'] = psnr(img, image)
@@ -576,14 +714,13 @@ class SKGSTrainer:
             vgrad = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
             if not batched:
                 (total, aux), grads = vgrad(model.params, m2d_off, view,
-                                            image, t, time_id, k_noise, k_bg)
+                                            image, t, time_id, kns, kbs)
                 pgrads, m2d_grad = grads
                 aux_k = jax.tree.map(lambda x: x[None], aux)
                 time_ids = time_id[None]
+                K_tot = 1
             else:
-                K = view.Tw2v.shape[0]
-                kns = jax.random.split(k_noise, K)
-                kbs = jax.random.split(k_bg, K)
+                K = view.Tw2v.shape[0]   # local sample count under par
 
                 def body(carry, inp):
                     view_i, image_i, t_i, tid_i, kn_i, kb_i = inp
@@ -599,33 +736,91 @@ class SKGSTrainer:
                          m2d_off)
                 (tot_sum, pg_sum, mg_sum), aux_k = jax.lax.scan(
                     body, zeros, (view, image, t, time_id, kns, kbs))
-                total = tot_sum / K
-                pgrads = jax.tree.map(lambda x: x / K, pg_sum)
-                m2d_grad = mg_sum / K
+                K_tot = K * n_view_ax
+                if par:
+                    axes = ('view', 'gs')
+                    tot_sum = jax.lax.psum(tot_sum, axes)
+                    pg_sum = jax.lax.psum(pg_sum, axes)
+                    mg_sum = jax.lax.psum(mg_sum, axes)
+                total = tot_sum / K_tot
+                pgrads = jax.tree.map(lambda x: x / K_tot, pg_sum)
+                m2d_grad = mg_sum / K_tot
                 aux = jax.tree.map(lambda x: x[-1], aux_k)
                 time_ids = time_id
             new_params, new_opt = self.opt_update(
                 pgrads, opt_state, model.params, lrs,
                 clip_norm=self.clip_norm)
             model = model._replace(params=new_params)
-            model = model._replace(**_stats_update(model, aux_k, m2d_grad))
-            if update_cache and 'cache_row' in aux:
+            if par:
+                # reassemble full-capacity per-sample stats from the gs
+                # slices, then combine across the view axis with the same
+                # any/max/sum semantics as the single-chip K-sample batch
+                gath = lambda x: jax.lax.all_gather(x, 'gs', axis=1,
+                                                    tiled=True)
+                radii_k = gath(aux_k['radii'])               # [K_l, N]
+                seen_k = radii_k > 0
+                seen = jax.lax.pmax(
+                    jnp.any(seen_k, axis=0).astype(jnp.int32), 'view') > 0
+                radii_max = jax.lax.pmax(
+                    jnp.max(radii_k, axis=0).astype(jnp.float32), 'view')
+                n_seen = jax.lax.psum(
+                    jnp.sum(seen_k, axis=0).astype(jnp.float32), 'view')
+                gnorm = jnp.sqrt(jnp.sum(jnp.square(m2d_grad[:, :2]), -1)
+                                 + 1e-24)
                 model = model._replace(
-                    sp_cache=model.sp_cache.at[time_ids].set(
-                        jax.lax.stop_gradient(aux_k['cache_row'])))
+                    max_radii2d=jnp.where(seen, jnp.maximum(
+                        model.max_radii2d, radii_max), model.max_radii2d),
+                    xyz_grad_accum=jnp.where(
+                        seen, model.xyz_grad_accum + gnorm,
+                        model.xyz_grad_accum),
+                    denom=model.denom + n_seen)
+            else:
+                model = model._replace(**_stats_update(model, aux_k,
+                                                       m2d_grad))
+            if (update_cache or update_sk_cache) and 'cache_row' in aux:
+                rows_k = jax.lax.stop_gradient(aux_k['cache_row'])
+                if par:
+                    time_ids = jax.lax.all_gather(time_ids, 'view', axis=0,
+                                                  tiled=True)
+                    rows_k = jax.lax.all_gather(rows_k, 'view', axis=0,
+                                                tiled=True)
+                if update_cache:
+                    model = model._replace(
+                        sp_cache=model.sp_cache.at[time_ids].set(rows_k))
+                else:
+                    model = model._replace(
+                        sk_cache=model.sk_cache.at[time_ids].set(rows_k))
             if update_cache and cfg.warp_method == 'largest' and 'p2sp' in aux:
-                model = model._replace(
-                    p2sp=jax.lax.stop_gradient(aux['p2sp']))
+                p2sp_new = jax.lax.stop_gradient(aux['p2sp'])
+                if par:
+                    # single-chip takes the LAST sample's assignment: that
+                    # sample lives on the last view chip
+                    p2sp_new = jax.lax.all_gather(p2sp_new, 'gs', axis=0,
+                                                  tiled=True)
+                    last = jax.lax.axis_index('view') == n_view_ax - 1
+                    p2sp_new = jax.lax.psum(
+                        jnp.where(last, p2sp_new, 0), 'view')
+                model = model._replace(p2sp=p2sp_new)
             if 'joint_cost_now' in aux:
-                cost_mean = jnp.mean(aux_k['joint_cost_now'], axis=0)
+                cost_sum = jnp.sum(aux_k['joint_cost_now'], axis=0)
+                if par:
+                    cost_sum = jax.lax.psum(cost_sum, 'view')
+                cost_mean = cost_sum / K_tot
                 new_cost = model.joint_cost * cfg.sk_momentum \
                     + cost_mean * (1 - cfg.sk_momentum)
                 model = model._replace(joint_cost=new_cost)
+            loss_sums = {k: jnp.sum(v) for k, v in aux_k['losses'].items()}
+            psnr_sum = jnp.sum(aux_k['psnr'])
+            ovf = jnp.any(aux_k['overflow'])
+            if par:
+                loss_sums = jax.lax.psum(loss_sums, ('view', 'gs'))
+                psnr_sum = jax.lax.psum(psnr_sum, 'view')
+                ovf = jax.lax.pmax(ovf.astype(jnp.int32),
+                                   ('view', 'gs')) > 0
             metrics = {'loss': total,
-                       'psnr': jnp.mean(aux_k['psnr']),
-                       'overflow': jnp.any(aux_k['overflow']),
-                       **{k: jnp.mean(v)
-                          for k, v in aux_k['losses'].items()}}
+                       'psnr': psnr_sum / K_tot,
+                       'overflow': ovf,
+                       **{k: v / K_tot for k, v in loss_sums.items()}}
             return model, new_opt, metrics
 
         def _stats_update(model, aux_k, m2d_grad):
@@ -646,6 +841,36 @@ class SKGSTrainer:
                     seen, model.xyz_grad_accum + gnorm, model.xyz_grad_accum),
                 'denom': model.denom + n_seen,
             }
+
+        @partial(jax.jit, static_argnames=('stage',))
+        def train_step(model: SKGSModel, opt_state, view: ViewParams,
+                       image, t, time_id, sched, key, bg, gs_knn_index,
+                       stage: str):
+            k_noise, k_other, k_bg = jax.random.split(key, 3)
+            batched = view.Tw2v.ndim == 3
+            if batched:
+                # per-sample keys split GLOBALLY so the multi-chip stream
+                # matches the single-chip scan order exactly
+                K = view.Tw2v.shape[0]
+                kns = jax.random.split(k_noise, K)
+                kbs = jax.random.split(k_bg, K)
+            else:
+                kns, kbs = k_noise, k_bg
+            if not par:
+                return _core(stage, model, opt_state, view, image, t,
+                             time_id, sched, kns, kbs, k_other, bg,
+                             gs_knn_index)
+            if not batched:
+                raise ValueError("multi-chip training requires stacked "
+                                 "[K, ...] sample batches (batch_views)")
+            from ..parallel.mesh import shard_map_compat
+            pv, pr = P('view'), P()
+            fn = shard_map_compat(
+                partial(_core, stage), self.mesh,
+                in_specs=(pr, pr, pv, pv, pv, pv, pr, pv, pv, pr, pr, pr),
+                out_specs=(pr, pr, pr))
+            return fn(model, opt_state, view, image, t, time_id, sched,
+                      kns, kbs, k_other, bg, gs_knn_index)
 
         return train_step
 
@@ -879,7 +1104,7 @@ class SKGSTrainer:
             self.update_gs_knn(step)
 
         st.key, k_step = jax.random.split(st.key)
-        if self.batch_views > 1:
+        if self.batch_views > 1 or self.mesh is not None:
             idxs = np.asarray([self.sampler.sample(step)
                                for _ in range(self.batch_views)])
             view = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -962,7 +1187,10 @@ class SKGSTrainer:
         def fn(model: SKGSModel, view: ViewParams, t, bg):
             # eval uses t directly; sk stages interpolate cached per-frame
             # root transforms (reference test-time path, sk_gs.py:1126-1130)
-            out_def = forward_deltas(cfg, model, t, stage, time_id=None)
+            # and, with cfg.test_time_interpolate, the cached skeleton-net
+            # outputs instead of re-running the net (sk_gs.py:1080-1085)
+            out_def = forward_deltas(cfg, model, t, stage, time_id=None,
+                                     training=False)
             from ..models.gaussian_splatting import gaussian_inputs
             g = gaussian_inputs(model.gauss_view(), cfg.gauss,
                                 d_xyz=out_def.d_xyz,

@@ -304,10 +304,16 @@ def sp_stage(cfg: SKGSConfig, params, sp_alive, points, t, key=None,
 
 
 def sk_stage(cfg: SKGSConfig, model: SKGSModel, points, t, time_id=None,
-             sk_r_delta=None, detach: bool = False) -> StageOutputs:
+             sk_r_delta=None, detach: bool = False,
+             training: bool = True) -> StageOutputs:
     """Skeleton-driven warp via forward kinematics (sk_stage,
     sk_gs.py:1109-1150). Assumes the skeleton is initialized (sk_is_init):
-    joints = params['joints'], global transform from params['global_tr']."""
+    joints = params['joints'], global transform from params['global_tr'].
+
+    Eval with ``cfg.test_time_interpolate`` uses the per-frame ``sk_cache``
+    (written by the sk-family train step) instead of re-running the
+    skeleton net: lerp cached (sk_r, d_rot, d_scale) between the two
+    neighbouring train frames (kinematic, sk_gs.py:1071-1086)."""
     params = model.params
     points = jax.lax.stop_gradient(points)
     joints = params['joints']
@@ -323,14 +329,35 @@ def sk_stage(cfg: SKGSConfig, model: SKGSModel, points, t, time_id=None,
         g_tr = se3.se3_interpolate(params['global_tr'][idx1],
                                    params['global_tr'][idx2], w)
 
-    x_in = joints
-    sk_r, d_rot, d_scale = skeleton_net_apply(params['sk_deform'], cfg.sk_net,
-                                              x_in, t)
-    if sk_r.shape[-1] == 4:
-        sk_r = quat.normalize(sk_r + ROT_BIAS)
+    dims = tuple(cfg.sk_net.out_dims)
+    if not training and cfg.test_time_interpolate:
+        if time_id is not None:
+            row = model.sk_cache[time_id]
+        else:
+            tt = model.train_times
+            idx2 = jnp.clip(jnp.searchsorted(tt, t.reshape(())), 1,
+                            tt.shape[0] - 1)
+            idx1 = idx2 - 1
+            w = jnp.clip((t.reshape(()) - tt[idx1])
+                         / jnp.maximum(tt[idx2] - tt[idx1], 1e-8), 0.0, 1.0)
+            row = (1.0 - w) * model.sk_cache[idx1] + w * model.sk_cache[idx2]
+        sk_r = row[:, :dims[0]]
+        d_rot = row[:, dims[0]:dims[0] + dims[1]]
+        d_scale = row[:, dims[0] + dims[1]:]
+        if sk_r.shape[-1] == 4:
+            sk_r = quat.normalize(sk_r)  # already biased when cached
+        else:
+            sk_r = se3.so3_exp(sk_r)
+        cache_row = row
     else:
-        sk_r = se3.so3_exp(sk_r)
-    cache_row = jnp.concatenate([sk_r, d_rot, d_scale], axis=-1)
+        x_in = joints
+        sk_r, d_rot, d_scale = skeleton_net_apply(params['sk_deform'],
+                                                  cfg.sk_net, x_in, t)
+        if sk_r.shape[-1] == 4:
+            sk_r = quat.normalize(sk_r + ROT_BIAS)
+        else:
+            sk_r = se3.so3_exp(sk_r)
+        cache_row = jnp.concatenate([sk_r, d_rot, d_scale], axis=-1)
 
     sk_T = skeleton.kinematic_transforms(joints, sk_r, g_tr,
                                          model.joint_parents, model.joint_root,
@@ -357,7 +384,7 @@ def sk_stage(cfg: SKGSConfig, model: SKGSModel, points, t, time_id=None,
 
 def forward_deltas(cfg: SKGSConfig, model: SKGSModel, t, stage: str,
                    time_id=None, key=None, noise_scale: float = 0.0,
-                   sk_r_delta=None) -> StageOutputs:
+                   sk_r_delta=None, training: bool = True) -> StageOutputs:
     """Stage-dispatched deformation (forward, sk_gs.py:1160-1204).
     ``stage`` is a host-side string -> separate jitted programs per stage."""
     points = model.params['xyz']
@@ -380,4 +407,4 @@ def forward_deltas(cfg: SKGSConfig, model: SKGSModel, t, stage: str,
         return out
     # sk stages
     return sk_stage(cfg, model, points, t, time_id, sk_r_delta,
-                    detach=(stage == 'sk_fix'))
+                    detach=(stage == 'sk_fix'), training=training)

@@ -40,3 +40,18 @@ def view_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 def gs_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P('gs', *([None] * (ndim - 1))))
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: `jax.shard_map` (check_vma) with
+    fallback to the experimental API (check_rep)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

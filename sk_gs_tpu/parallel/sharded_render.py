@@ -25,11 +25,12 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
+from .mesh import shard_map_compat
 from ..render import blend_xla
 from ..render.binning import build_tile_lists
 from ..render.preprocess import PreprocessOut, preprocess
+from ..render.render import blend_tiles
 from ..render.settings import TILE, GaussianInputs, RasterConfig, ViewParams
 
 
@@ -83,7 +84,7 @@ def make_sharded_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs'):
         opac_all = jax.lax.all_gather(g.opacities.reshape(-1), axis,
                                       tiled=True)
         pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-        tile_color, tile_alpha = blend_xla.blend_chunks_scan(
+        tile_color, tile_alpha = blend_tiles(
             binned, pad1(pre_b.means2d), pad1(pre_b.conic), pad1(opac_all),
             pad1(pre_b.colors), bcfg)
         out = blend_xla.assemble_image(tile_color, tile_alpha, bcfg)
@@ -94,11 +95,10 @@ def make_sharded_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs'):
         means3d=P(axis), scales=P(axis), rotations=P(axis), opacities=P(axis),
         sh=P(axis), colors=None, extras=None, mask=P(axis))
 
-    sharded = shard_map(
-        render_local, mesh=mesh,
+    sharded = shard_map_compat(
+        render_local, mesh,
         in_specs=(gspec, P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        check_rep=False)
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()))
 
     @jax.jit
     def render_fn(g: GaussianInputs, view: ViewParams) -> Dict[str, jnp.ndarray]:
@@ -132,6 +132,78 @@ def _compact_for_band(pre: PreprocessOut, opac: jnp.ndarray, sel: jnp.ndarray,
     return out, jnp.sum(sel)
 
 
+def exchange_render_band(pre: PreprocessOut, opac: jnp.ndarray,
+                         cfg: RasterConfig, axis: str, n_bands: int,
+                         cap: int):
+    """Band-local phase of the all-to-all exchange rasterizer, callable from
+    inside ANY ``shard_map`` whose mesh has ``axis`` (the production train
+    step embeds this directly). ``pre``/``opac`` are the LOCAL Gaussian
+    shard's preprocess outputs in GLOBAL image coordinates. Each splat is
+    routed only to the chips whose tile-row bands its rect overlaps; the
+    receiver re-sorts by depth and blends its band with the configured
+    (Pallas) blend. Returns (band_images, band_opacity, overflow)."""
+    bcfg = band_config(cfg, n_bands)
+    band_rows = cfg.grid_h // n_bands
+
+    # route: band range this splat's rect overlaps
+    b0 = pre.rect_min[:, 1] // band_rows
+    b1 = (pre.rect_max[:, 1] - 1) // band_rows
+    sends = []
+    counts = []
+    for d in range(n_bands):
+        sel = pre.visible & (b0 <= d) & (d <= b1)
+        block, cnt = _compact_for_band(pre, opac, sel, cap)
+        sends.append(block)
+        counts.append(cnt)
+    send = jnp.stack(sends)                       # [D, cap, 14]
+    overflow = jnp.any(jnp.stack(counts) > cap)
+
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=True)         # [D, cap, 14]
+    recv = recv.reshape(-1, send.shape[-1])       # [D*cap, 14]
+
+    # rebuild a band-local PreprocessOut from received features
+    band = jax.lax.axis_index(axis)
+    y0_tile = band * band_rows
+    depths = recv[:, 9]
+    visible = jnp.isfinite(depths)
+    rx0 = recv[:, 10].astype(jnp.int32)
+    ry0 = recv[:, 11].astype(jnp.int32)
+    rx1 = recv[:, 12].astype(jnp.int32)
+    ry1 = recv[:, 13].astype(jnp.int32)
+    # clip the TRUE global rect rows to this band (band-local coords) —
+    # widening to the whole band would leak sub-3-sigma contributions
+    # the single-chip renderer's rect test excludes
+    ly0 = jnp.clip(ry0 - y0_tile, 0, band_rows)
+    ly1 = jnp.clip(ry1 - y0_tile, 0, band_rows)
+    area = (rx1 - rx0) * (ly1 - ly0)
+    visible = visible & (area > 0)
+    y0_px = band.astype(jnp.float32) * (band_rows * TILE)
+    means2d = recv[:, 0:2] - jnp.stack([jnp.zeros_like(y0_px), y0_px])
+    pre_b = PreprocessOut(
+        means2d=means2d,
+        depths=jnp.where(visible, depths, jnp.inf),
+        conic=recv[:, 2:5],
+        colors=recv[:, 6:9],
+        radius=jnp.where(visible, 1, 0).astype(jnp.int32),
+        tiles_touched=jnp.where(visible, area, 0).astype(jnp.int32),
+        rect_min=jnp.stack([rx0, ly0], -1),
+        rect_max=jnp.stack([rx1, ly1], -1),
+        visible=visible,
+        # alpha>=1/255 threshold rebuilt from the exchanged opacity
+        tau=2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(
+            recv[:, 5], 1e-12)), 0.0),
+    )
+
+    binned = build_tile_lists(pre_b, bcfg)
+    pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+    tile_color, tile_alpha = blend_tiles(
+        binned, pad1(pre_b.means2d), pad1(pre_b.conic),
+        pad1(recv[:, 5]), pad1(pre_b.colors), bcfg)
+    out = blend_xla.assemble_image(tile_color, tile_alpha, bcfg)
+    return out['images'], out['opacity'], overflow | binned.overflow
+
+
 def make_exchange_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs',
                          send_capacity: int = 0):
     """Two-phase sharded rasterizer with an all-to-all splat exchange
@@ -139,91 +211,35 @@ def make_exchange_render(mesh: Mesh, cfg: RasterConfig, axis: str = 'gs',
     each splat is routed ONLY to the chips whose tile-row bands its rect
     overlaps (vs ``make_sharded_render``'s all-gather of everything);
     phase B re-sorts the received set by depth and blends the local band.
+    ``radii``/``visible`` come from the local phase-A preprocess (sharded
+    along ``axis``), so adaptive density control works from this renderer.
 
     send_capacity: max splats sent per (src chip, dst chip) pair; default
     pair_capacity // n_bands.
     """
     n_bands = mesh.shape[axis]
-    bcfg = band_config(cfg, n_bands)
-    band_rows = cfg.grid_h // n_bands
     cap = send_capacity or max(cfg.pair_capacity // n_bands, 1024)
 
     def render_local(g: GaussianInputs, view: ViewParams):
         pre = preprocess(g, view, cfg)
         opac = g.opacities.reshape(-1)
-
-        # route: band range this splat's rect overlaps
-        b0 = pre.rect_min[:, 1] // band_rows
-        b1 = (pre.rect_max[:, 1] - 1) // band_rows
-        sends = []
-        counts = []
-        for d in range(n_bands):
-            sel = pre.visible & (b0 <= d) & (d <= b1)
-            block, cnt = _compact_for_band(pre, opac, sel, cap)
-            sends.append(block)
-            counts.append(cnt)
-        send = jnp.stack(sends)                       # [D, cap, 14]
-        overflow = jnp.any(jnp.stack(counts) > cap)
-
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)         # [D, cap, 14]
-        recv = recv.reshape(-1, send.shape[-1])       # [D*cap, 14]
-
-        # rebuild a band-local PreprocessOut from received features
-        band = jax.lax.axis_index(axis)
-        y0_tile = band * band_rows
-        depths = recv[:, 9]
-        visible = jnp.isfinite(depths)
-        rx0 = recv[:, 10].astype(jnp.int32)
-        ry0 = recv[:, 11].astype(jnp.int32)
-        rx1 = recv[:, 12].astype(jnp.int32)
-        ry1 = recv[:, 13].astype(jnp.int32)
-        # clip the TRUE global rect rows to this band (band-local coords) —
-        # widening to the whole band would leak sub-3-sigma contributions
-        # the single-chip renderer's rect test excludes
-        ly0 = jnp.clip(ry0 - y0_tile, 0, band_rows)
-        ly1 = jnp.clip(ry1 - y0_tile, 0, band_rows)
-        area = (rx1 - rx0) * (ly1 - ly0)
-        visible = visible & (area > 0)
-        y0_px = band.astype(jnp.float32) * (band_rows * TILE)
-        means2d = recv[:, 0:2] - jnp.stack([jnp.zeros_like(y0_px), y0_px])
-        pre_b = PreprocessOut(
-            means2d=means2d,
-            depths=jnp.where(visible, depths, jnp.inf),
-            conic=recv[:, 2:5],
-            colors=recv[:, 6:9],
-            radius=jnp.where(visible, 1, 0).astype(jnp.int32),
-            tiles_touched=jnp.where(visible, area, 0).astype(jnp.int32),
-            rect_min=jnp.stack([rx0, ly0], -1),
-            rect_max=jnp.stack([rx1, ly1], -1),
-            visible=visible,
-            # alpha>=1/255 threshold rebuilt from the exchanged opacity
-            tau=2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(
-                recv[:, 5], 1e-12)), 0.0),
-        )
-
-        binned = build_tile_lists(pre_b, bcfg)
-        pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-        tile_color, tile_alpha = blend_xla.blend_chunks_scan(
-            binned, pad1(pre_b.means2d), pad1(pre_b.conic),
-            pad1(recv[:, 5]), pad1(pre_b.colors), bcfg)
-        out = blend_xla.assemble_image(tile_color, tile_alpha, bcfg)
-        return out['images'], out['opacity'], overflow
+        images, opacity, overflow = exchange_render_band(
+            pre, opac, cfg, axis, n_bands, cap)
+        return images, opacity, pre.radius, pre.visible, overflow
 
     gspec = GaussianInputs(
         means3d=P(axis), scales=P(axis), rotations=P(axis), opacities=P(axis),
         sh=P(axis), colors=None, extras=None, mask=P(axis))
 
-    sharded = shard_map(
-        render_local, mesh=mesh,
+    sharded = shard_map_compat(
+        render_local, mesh,
         in_specs=(gspec, P()),
-        out_specs=(P(axis), P(axis), P()),
-        check_rep=False)
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()))
 
     @jax.jit
     def render_fn(g: GaussianInputs, view: ViewParams):
-        images, opacity, overflow = sharded(g, view)
-        return {'images': images, 'opacity': opacity,
-                'overflow': jnp.any(overflow)}
+        images, opacity, radii, visible, overflow = sharded(g, view)
+        return {'images': images, 'opacity': opacity, 'radii': radii,
+                'visible': visible, 'overflow': jnp.any(overflow)}
 
     return render_fn

@@ -28,6 +28,19 @@ from .preprocess import preprocess
 from .settings import GaussianInputs, RasterConfig, ViewParams
 
 
+def blend_tiles(binned, xys_p, conic_p, opa_p, col_p, cfg: RasterConfig):
+    """Blend the binned splats into per-tile color/alpha blocks with the
+    configured backend (Pallas kernel or the XLA scan twin). Inputs are the
+    (N+1)-row padded per-splat arrays; used by both the single-chip path and
+    the band-local phase of the sharded renderers (the kernel is band-local,
+    so it runs unchanged inside ``shard_map``)."""
+    if cfg.use_pallas:
+        from .tile_kernel import blend_chunks_pallas
+        return blend_chunks_pallas(binned, xys_p, conic_p, opa_p, col_p, cfg)
+    return blend_xla.blend_chunks_scan(binned, xys_p, conic_p, opa_p, col_p,
+                                       cfg)
+
+
 def render(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
            active_sh_degree: Optional[jnp.ndarray] = None,
            means2d_offset: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
@@ -42,18 +55,9 @@ def render(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
 
     # (N+1)-row padding: dummy row with opacity 0 -> alpha 0, no gradient
     pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-    xys_p = pad1(means2d)
-    conic_p = pad1(pre.conic)
-    opa_p = pad1(g.opacities.reshape(-1))
-    col_p = pad1(colors)
-
-    if cfg.use_pallas:
-        from .tile_kernel import blend_chunks_pallas
-        tile_color, tile_alpha = blend_chunks_pallas(
-            binned, xys_p, conic_p, opa_p, col_p, cfg)
-    else:
-        tile_color, tile_alpha = blend_xla.blend_chunks_scan(
-            binned, xys_p, conic_p, opa_p, col_p, cfg)
+    tile_color, tile_alpha = blend_tiles(
+        binned, pad1(means2d), pad1(pre.conic),
+        pad1(g.opacities.reshape(-1)), pad1(colors), cfg)
 
     out = blend_xla.assemble_image(tile_color, tile_alpha, cfg)
     images = out['images']

@@ -74,10 +74,35 @@ IMPL = {
     #                        chunk grid, no dead grid steps, transmittance
     #                        early-out gates the math) | 'chunk': round-1
     #                        static grid of padded chunks
+    # MXU offload knobs (tile schedule only). A/B on v5e (round 2): every
+    # MXU variant LOST to plain VPU math at these shapes — the [C,8]/[8,P]
+    # matmuls are latency-bound in Mosaic, not throughput-bound (all-mxu
+    # bf16: fwd 1.73 vs vpu 1.33 ms; logmxu cumprod HIGHEST: fwd 1.56).
+    # Knobs kept for future hardware; defaults = measured best. The one MXU
+    # structure that DID win is the linearity-collapsed backward (one
+    # combined suffix cumsum instead of per-channel, bwd 2.72 -> 2.22 ms).
+    'qform': 'vpu',        # power = G[C,8] @ X[8,P] (quadratic form as a
+    #                        polynomial in tile-centered pixel coords)
+    'colsum': 'vpu',       # fwd color accumulation cols^T[ch,C] @ w[C,P]
+    'moments': 'vpu',      # bwd per-pair grad sums via pixel moments
+    #                        g_power[C,P] @ X^T[P,8] + [C,1] recombination
+    'matprec': 'highest',  # precision for the new matmuls ('highest' = f32
+    #                        6-pass; 'default' = one bf16 pass)
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
     #                        the DMA pipeline but trivializes the chunk math;
     #                        'nodma' keeps the math on stale buffer contents
 }
+
+# power <= 0 in exact arithmetic for any PSD conic (power = -q, q >= 0); the
+# reference's `power > 0 -> skip` (gaussian_render.cu:79) is defensive. A
+# small positive slack keeps the test robust to matmul re-association noise
+# near the Gaussian center, where dropping the entry would cost O(opacity).
+POWER_SKIP_EPS = 1e-4
+
+
+def _mat_precision():
+    return (jax.lax.Precision.HIGHEST if IMPL['matprec'] == 'highest'
+            else jax.lax.Precision.DEFAULT)
 
 
 def _tri_ones(c: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -125,6 +150,20 @@ def _cumprod_sublanes(x):
             x = x * jnp.concatenate([top, x[:-shift]], axis=0)
             shift *= 2
         return x
+    if IMPL['cumprod'] == 'logmxu':
+        # per-CHUNK log-space prefix via one triangular MXU matmul: the
+        # carry across chunks stays an exact multiply, so the roundtrip
+        # error is one exp+log pair (~1e-4 relative) bounded by
+        # |log T| <= |log T_EPS| ~ 9.2 within a chunk — NOT the 5% drift of
+        # a full-sequence log-space product. Trades ~1e-4 blend accuracy
+        # for removing the log2(C) Hillis-Steele passes (the largest VPU
+        # cost in the forward walk). x > 0 always: alpha <= ALPHA_MAX.
+        # HIGHEST (f32; Mosaic supports only DEFAULT/HIGHEST): one-bf16-pass
+        # rounding of ~9-magnitude logs would give ~3% transmittance error
+        lg = jnp.log(x)
+        return jnp.exp(jnp.dot(_tri_ones(c, x.dtype), lg,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST))
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     shift = 1
     while shift < c:
@@ -181,6 +220,76 @@ def _blend_math(feat, px, py, t_run, n_valid):
     # T after chunk = p_incl at the last contributing row (monotone)
     t_new = jnp.min(jnp.where(contrib, p_incl, t_run), axis=0, keepdims=True)
     return alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w, t_new
+
+
+def _make_basis(tile, grid_w):
+    """Per-tile pixel basis for the MXU blend core.
+
+    Returns (cx, cy, u, v, X): tile-center pixel coords (scalars), centered
+    per-pixel offsets u, v (1, P) in [-(TILE-1)/2, (TILE-1)/2], and the
+    polynomial basis X = [u^2, v^2, u*v, u, v, 1, 0, 0] (8, P). Centering
+    keeps the matmul operands small (|u| <= 8) so even one bf16 MXU pass
+    stays accurate; absolute pixel coords (up to image size) would not."""
+    tx = (tile % grid_w).astype(jnp.float32)
+    ty = (tile // grid_w).astype(jnp.float32)
+    half = (TILE - 1) / 2.0
+    cx = tx * TILE + half
+    cy = ty * TILE + half
+    lp = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1).astype(jnp.float32)
+    u = lp % TILE - half
+    v = lp // TILE - half
+    X = None
+    if IMPL['qform'] == 'mxu' or IMPL['moments'] == 'mxu':
+        zr = jnp.zeros_like(u)
+        X = jnp.concatenate([u * u, v * v, u * v, u, v,
+                             jnp.ones_like(u), zr, zr], axis=0)     # (8, P)
+    return cx, cy, u, v, X
+
+
+def _blend_core(feat, basis, t_run, n_valid):
+    """Tile-schedule chunk math. Same contract as ``_blend_math`` but the
+    quadratic form runs on the MXU: power(dx, dy) is a degree-2 polynomial
+    in the tile-centered pixel coords (u, v), so power = G @ X with
+    per-entry coefficients G [C, 8] (cheap [C, 1] column math) and the
+    shared per-tile basis X [8, P]. Returns the per-entry coefficient
+    columns the backward's moment recombination needs."""
+    cx, cy, u, v, X = basis
+    x = feat[:, 0:1]
+    y = feat[:, 1:2]
+    a = feat[:, 2:3]
+    b = feat[:, 3:4]
+    c = feat[:, 4:5]
+    o = feat[:, 5:6]
+    xl = x - cx
+    yl = y - cy
+    if IMPL['qform'] == 'mxu':
+        # -0.5*a*(u-xl)^2 - 0.5*c*(v-yl)^2 - b*(u-xl)*(v-yl) expanded in u, v
+        zc = jnp.zeros_like(a)
+        G = jnp.concatenate(
+            [-0.5 * a, -0.5 * c, -b, a * xl + b * yl, c * yl + b * xl,
+             -(0.5 * a * xl * xl + 0.5 * c * yl * yl + b * xl * yl),
+             zc, zc], axis=1)                                       # (C, 8)
+        power = jax.lax.dot_general(
+            G, X, (((1,), (0,)), ((), ())), precision=_mat_precision(),
+            preferred_element_type=jnp.float32)                     # (C, P)
+    else:
+        dx = (cx + u) - x
+        dy = (cy + v) - y
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = o * g
+    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+    row = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
+    keep = (power <= POWER_SKIP_EPS) & (alpha >= ALPHA_MIN) & (row < n_valid)
+    alpha = jnp.where(keep, alpha, 0.0)
+    om = 1.0 - alpha
+    p_excl = t_run * _shift_down_one(_cumprod_sublanes(om), 1.0)
+    p_incl = p_excl * om
+    contrib = p_incl >= T_EPS
+    w = jnp.where(contrib, alpha * p_excl, 0.0)
+    t_new = jnp.min(jnp.where(contrib, p_incl, t_run), axis=0, keepdims=True)
+    return (alpha, alpha_raw, keep, om, p_excl, contrib, w, t_new,
+            (a, b, c, o, xl, yl))
 
 
 def _feat_dma(feat_hbm, buf, sem, slot, src):
@@ -386,7 +495,7 @@ def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
 
     color_ref[:] = jnp.zeros_like(color_ref)
     t_run[:] = jnp.ones_like(t_run)
-    px, py = _pixel_coords(t, grid_w)
+    basis = _make_basis(t, grid_w)
 
     @pl.when(nchunks > 0)
     def _():
@@ -408,11 +517,18 @@ def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
         def _():
             feat = feat_buf[j % 2]
             n_valid = jnp.minimum(cnt - j * C, C)
-            (alpha, _, _, _, _, _, om, p_excl, contrib, w,
-             t_new) = _blend_math(feat, px, py, t_run[:], n_valid)
-            for k in range(ch):
-                col_k = feat[:, 6 + k:7 + k]
-                color_ref[0, k, :] += jnp.sum(w * col_k, axis=0)
+            (alpha, _, _, om, p_excl, contrib, w, t_new,
+             _coef) = _blend_core(feat, basis, t_run[:], n_valid)
+            if IMPL['colsum'] == 'mxu':
+                cols = feat[:, 6:6 + ch]                          # (C, ch)
+                color_ref[:] += jax.lax.dot_general(
+                    cols, w, (((0,), (0,)), ((), ())),
+                    precision=_mat_precision(),
+                    preferred_element_type=jnp.float32)[None]     # (ch, P)
+            else:
+                for k in range(ch):
+                    col_k = feat[:, 6 + k:7 + k]
+                    color_ref[0, k, :] += jnp.sum(w * col_k, axis=0)
             t_run[:] = t_new
         return jnp.max(t_run[:]) >= T_EPS
 
@@ -453,10 +569,15 @@ def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
 
     t_run[:] = jnp.ones_like(t_run)
     c_run[:] = jnp.zeros_like(c_run)
-    px, py = _pixel_coords(t, grid_w)
+    basis = _make_basis(t, grid_w)
+    cx, cy, u, v, X = basis
 
     tf = 1.0 - af_ref[0, 0:1, :]                                   # (1, P)
     g_alpha_out = galpha_ref[0, 0:1, :]                            # (1, P)
+    Gout = gcolor_ref[0]                                           # (ch, P)
+    # D = sum_k gout_k * cf_k: the per-tile constant of the combined suffix
+    # term (all per-channel suffix passes collapse by linearity of cumsum)
+    D = jnp.sum(Gout * cf_ref[0], axis=0, keepdims=True)           # (1, P)
 
     def body(j, alive):
         s = j % 2
@@ -482,37 +603,70 @@ def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
         @pl.when(alive)
         def _():
             feat = feat_buf[s]
-            (alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w,
-             t_new) = _blend_math(feat, px, py, t_run[:], n_valid)
+            (alpha, alpha_raw, keep, om, p_excl, contrib, w, t_new,
+             (a, b, c, o, xl, yl)) = _blend_core(feat, basis, t_run[:],
+                                                 n_valid)
             inv_om = 1.0 / om                                      # (C, P)
-            g_alpha_e = g_alpha_out * tf * inv_om                  # (C, P)
-            wc_all = jnp.concatenate(
-                [w * feat[:, 6 + k:7 + k] for k in range(ch)], axis=1)
-            incl_all = _cumsum_sublanes(wc_all)
-            gcols = []
-            for k in range(ch):
-                col_k = feat[:, 6 + k:7 + k]
-                wc = wc_all[:, k * P:(k + 1) * P]
-                c_incl = c_run[k:k + 1, :] + incl_all[:, k * P:(k + 1) * P]
-                s_k = cf_ref[0, k:k + 1, :] - c_incl               # suffix
-                gcol_out_k = gcolor_ref[0, k:k + 1, :]
-                g_alpha_e += gcol_out_k * (col_k * p_excl - s_k * inv_om)
-                gcols.append(jnp.sum(gcol_out_k * w, axis=1, keepdims=True))
-                c_run[k:k + 1, :] += jnp.sum(wc, axis=0, keepdims=True)
+            cols = feat[:, 6:6 + ch]                               # (C, ch)
+            # B = sum_k col_k * gout_k — one matmul instead of ch passes
+            Bm = jax.lax.dot_general(
+                cols, Gout, (((1,), (0,)), ((), ())),
+                precision=_mat_precision(),
+                preferred_element_type=jnp.float32)                # (C, P)
+            wB = w * Bm
+            S_incl = _cumsum_sublanes(wB)                          # (C, P)
+            # sum_k gout_k * s_k = D - r - S_incl  (r carries prior chunks)
+            g_alpha_e = g_alpha_out * tf * inv_om + Bm * p_excl \
+                - (D - c_run[0:1, :] - S_incl) * inv_om
             g_alpha_e = jnp.where(contrib & keep, g_alpha_e, 0.0)
+            g_power = alpha_raw * g_alpha_e                        # (C, P)
 
-            g_power = alpha_raw * g_alpha_e
-            a = feat[:, 2:3]
-            b = feat[:, 3:4]
-            c = feat[:, 4:5]
-            gx = jnp.sum((a * dx + b * dy) * g_power, axis=1, keepdims=True)
-            gy = jnp.sum((c * dy + b * dx) * g_power, axis=1, keepdims=True)
-            ga = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
-            gb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
-            gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
-            go = jnp.sum(g * g_alpha_e, axis=1, keepdims=True)
+            if IMPL['moments'] == 'mxu':
+                # all five per-pair gradient sums are pixel moments of
+                # g_power: one [C,P]@[P,8] matmul + [C,1] recombination
+                M = jax.lax.dot_general(
+                    g_power, X, (((1,), (1,)), ((), ())),
+                    precision=_mat_precision(),
+                    preferred_element_type=jnp.float32)            # (C, 8)
+                Muu = M[:, 0:1]
+                Mvv = M[:, 1:2]
+                Muv = M[:, 2:3]
+                Mu = M[:, 3:4]
+                Mv = M[:, 4:5]
+                M1 = M[:, 5:6]
+                sdx = Mu - xl * M1
+                sdy = Mv - yl * M1
+                sdxx = Muu - 2.0 * xl * Mu + xl * xl * M1
+                sdxy = Muv - xl * Mv - yl * Mu + xl * yl * M1
+                sdyy = Mvv - 2.0 * yl * Mv + yl * yl * M1
+                gx = a * sdx + b * sdy
+                gy = c * sdy + b * sdx
+                ga = -0.5 * sdxx
+                gb = -sdxy
+                gc = -0.5 * sdyy
+                # g * g_alpha_e = g_power / o (alpha_raw = o * g); padding
+                # rows have o = 0 -> g_power = 0 -> 0
+                go = M1 / jnp.maximum(o, 1e-12)
+            else:
+                dx = (cx + u) - feat[:, 0:1]
+                dy = (cy + v) - feat[:, 1:2]
+                gx = jnp.sum((a * dx + b * dy) * g_power, axis=1,
+                             keepdims=True)
+                gy = jnp.sum((c * dy + b * dx) * g_power, axis=1,
+                             keepdims=True)
+                ga = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
+                gb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
+                gc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
+                go = jnp.sum(g_power * jnp.where(
+                    o > 0, 1.0 / jnp.maximum(o, 1e-12), 0.0), axis=1,
+                    keepdims=True)
+            gcols = jax.lax.dot_general(
+                w, Gout, (((1,), (1,)), ((), ())),
+                precision=_mat_precision(),
+                preferred_element_type=jnp.float32)                # (C, ch)
+            c_run[0:1, :] += S_incl[C - 1:C, :]
             pad = jnp.zeros((C, NUM_FEAT - 6 - ch), feat.dtype)
-            grads = jnp.concatenate([gx, gy, ga, gb, gc, go] + gcols + [pad],
+            grads = jnp.concatenate([gx, gy, ga, gb, gc, go, gcols, pad],
                                     axis=1)
             # zero the tail: rows past n_valid belong to the NEXT tile's
             # segment, which re-writes them after the start-of-program drain
@@ -593,7 +747,7 @@ def _pallas_backward_tile(feat_s, tile_start, tile_count, color, alpha,
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((ch, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
             pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),

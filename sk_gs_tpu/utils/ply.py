@@ -102,3 +102,54 @@ def load_gaussian_ply(path: str | Path) -> Dict[str, np.ndarray]:
         'scaling': data[:, [idx[k] for k in scale_cols]],
         'rotation': data[:, [idx[k] for k in rot_cols]],
     }
+
+
+def load_point_ply(path: str | Path):
+    """Plain point-cloud PLY -> (xyz [N,3] f32, rgb [N,3] f32 in [0,1]).
+
+    The reference's ``fetchPly`` init path (/root/reference/train.py:52-54,
+    networks/gaussian_splatting dataset seeding). Handles ascii and
+    binary_little_endian with mixed float/uchar properties; colors default
+    to 0.5 when absent."""
+    path = Path(path)
+    with path.open('rb') as f:
+        assert f.readline().strip() == b'ply', f'not a ply file: {path}'
+        fmt, n = None, 0
+        props = []  # (name, dtype)
+        _types = {'float': '<f4', 'float32': '<f4', 'double': '<f8',
+                  'uchar': 'u1', 'uint8': 'u1', 'char': 'i1',
+                  'short': '<i2', 'ushort': '<u2', 'int': '<i4',
+                  'uint': '<u4'}
+        in_vertex = False
+        while True:
+            line = f.readline().strip().decode('ascii')
+            if line.startswith('format'):
+                fmt = line.split()[1]
+            elif line.startswith('element'):
+                parts = line.split()
+                in_vertex = parts[1] == 'vertex'
+                if in_vertex:
+                    n = int(parts[2])
+            elif line.startswith('property') and in_vertex:
+                _, typ, name = line.split()
+                props.append((name, _types[typ]))
+            elif line == 'end_header':
+                break
+        dt = np.dtype([(name, t) for name, t in props])
+        if fmt == 'binary_little_endian':
+            rec = np.frombuffer(f.read(n * dt.itemsize), dtype=dt, count=n)
+        elif fmt == 'ascii':
+            rows = [f.readline().split() for _ in range(n)]
+            rec = np.array([tuple(r) for r in rows], dtype=dt)
+        else:
+            raise ValueError(f'unsupported ply format {fmt}')
+    xyz = np.stack([rec['x'], rec['y'], rec['z']], -1).astype(np.float32)
+    names = {p[0] for p in props}
+    if {'red', 'green', 'blue'} <= names:
+        rgb = np.stack([rec['red'], rec['green'], rec['blue']],
+                       -1).astype(np.float32)
+        if rgb.max() > 1.0 + 1e-6:
+            rgb = rgb / 255.0
+    else:
+        rgb = np.full_like(xyz, 0.5)
+    return xyz, rgb

@@ -189,3 +189,76 @@ class TestColmap:
         assert cols.shape == (10, 3)
         np.testing.assert_allclose(cols[0], [100 / 255, 150 / 255, 200 / 255],
                                    atol=1e-6)
+
+
+class TestZJUPickled:
+    """ZJU_MoCAP_Dataset_pickled parity (ZJU_MoCAP.py:241-370): pickle with
+    per-(camera, frame) images/masks, intrinsics, extrinsics."""
+
+    def test_load(self, tmp_path, rng):
+        import pickle
+        root = tmp_path / 'zjup'
+        (root / '377').mkdir(parents=True)
+        n_cams, n_frames, hw = 3, 4, 32
+        imgs, masks, fids, cids, intr, rot, trans = [], [], [], [], [], [], []
+        for c in range(n_cams):
+            for f in range(n_frames):
+                imgs.append(rng.integers(
+                    0, 255, size=(3, hw, hw)).astype(np.uint8))
+                masks.append((rng.uniform(size=(hw, hw)) > 0.5))
+                fids.append(f)
+                cids.append(c)
+                intr.append(np.array([[40.0, 0, 15.0], [0, 40.0, 17.0],
+                                      [0, 0, 1]], np.float32))
+                rot.append(np.eye(3, dtype=np.float32))
+                trans.append(rng.normal(size=(3, 1)).astype(np.float32))
+        data = {'img': imgs, 'mask': masks,
+                'frame_id': np.asarray(fids), 'camera_id': np.asarray(cids),
+                'camera_intrinsic': intr, 'camera_rotation': rot,
+                'camera_translation': trans}
+        with open(root / '377' / 'cache_train.pickle', 'wb') as f:
+            pickle.dump(data, f)
+
+        from sk_gs_tpu.data.zju import load_zju_pickled
+        scene, meta = load_zju_pickled(str(root), '377', compression=False,
+                                       image_size=hw, background='white')
+        assert scene.images.shape[0] == n_cams * n_frames
+        assert meta.num_frames == n_frames
+        assert scene.images.shape[1:3] == (hw, hw)
+        # times normalized by max frame id
+        np.testing.assert_allclose(float(scene.times.max()),
+                                   (n_frames - 1) / (n_frames - 1))
+        # move_center: principal point recentred
+        assert np.isfinite(np.asarray(scene.images)).all()
+
+    def test_frame_ranges_and_no_recenter(self, tmp_path, rng):
+        import pickle
+        root = tmp_path / 'zjup2'
+        (root / 'x').mkdir(parents=True)
+        n_cams, n_frames, hw = 2, 6, 16
+        data = {'img': [], 'mask': [], 'frame_id': [], 'camera_id': [],
+                'camera_intrinsic': [], 'camera_rotation': [],
+                'camera_translation': []}
+        for c in range(n_cams):
+            for f in range(n_frames):
+                data['img'].append(rng.integers(
+                    0, 255, size=(3, hw, hw)).astype(np.uint8))
+                data['mask'].append(np.ones((hw, hw), bool))
+                data['frame_id'].append(f)
+                data['camera_id'].append(c)
+                data['camera_intrinsic'].append(
+                    np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]],
+                             np.float32))
+                data['camera_rotation'].append(np.eye(3, dtype=np.float32))
+                data['camera_translation'].append(
+                    np.zeros((3, 1), np.float32))
+        data['frame_id'] = np.asarray(data['frame_id'])
+        data['camera_id'] = np.asarray(data['camera_id'])
+        with open(root / 'x' / 'cache_train.pickle', 'wb') as f:
+            pickle.dump(data, f)
+        from sk_gs_tpu.data.zju import load_zju_pickled
+        scene, meta = load_zju_pickled(str(root), 'x', compression=False,
+                                       image_size=hw, move_center=False,
+                                       frame_ranges=(1, 4))
+        assert meta.num_frames == 3
+        assert scene.images.shape[0] == n_cams * 3

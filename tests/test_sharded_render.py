@@ -107,3 +107,34 @@ class TestExchangeRender:
         gb = np.asarray(jax.grad(loss_ref)(g.means3d))
         scale = np.abs(gb).max() + 1e-8
         np.testing.assert_allclose(ga / scale, gb / scale, atol=5e-4)
+
+
+class TestExchangePallas:
+    """The Pallas blend runs band-local inside shard_map (VERDICT r1 #2a):
+    the exchange renderer must produce the same image + radii/visible as the
+    single-chip Pallas path."""
+
+    def test_pallas_blend_in_shard_map(self, mesh, rng):
+        from sk_gs_tpu.parallel.sharded_render import make_exchange_render
+        from sk_gs_tpu.render import tile_kernel as tk
+        g = build_inputs(rng, 256)
+        view = make_view(w=64, h=64)
+        cfg_p = CFG._replace(use_pallas=True)
+        old = tk.INTERPRET
+        tk.INTERPRET = True
+        try:
+            ref = render(g, view, cfg_p)
+            fn = make_exchange_render(mesh, cfg_p)
+            with mesh:
+                out = fn(g, view)
+        finally:
+            tk.INTERPRET = old
+        assert not bool(out['overflow'])
+        np.testing.assert_allclose(np.asarray(out['images']),
+                                   np.asarray(ref['images']), atol=3e-5)
+        # radii/visible come from the local phase-A preprocess -> adaptive
+        # density control works from this renderer
+        np.testing.assert_array_equal(np.asarray(out['radii']),
+                                      np.asarray(ref['radii']))
+        np.testing.assert_array_equal(np.asarray(out['visible']),
+                                      np.asarray(ref['visible']))

@@ -139,3 +139,47 @@ class TestTransitions:
         assert int(stats['n_merged']) >= 0
         assert int(jnp.sum(model2.sp_alive)) + int(stats['n_merged']) \
             == cfg.num_superpoints
+
+
+class TestSkCacheInterpolate:
+    """test_time_interpolate: eval reads lerped sk_cache rows instead of
+    re-running the skeleton net (kinematic, sk_gs.py:1080-1085)."""
+
+    def test_cached_eval_matches_net_at_train_times(self, model_and_cfg):
+        model, cfg = model_and_cfg
+        cfg_tti = cfg._replace(test_time_interpolate=True)
+        pts = model.params['xyz']
+        # populate the cache the way the sk-family train step does
+        rows = []
+        for tid in range(cfg.num_frames):
+            t = model.train_times[tid]
+            out = sk_gs.sk_stage(cfg, model, pts, t, time_id=tid,
+                                 training=True)
+            rows.append(out.aux['cache_row'])
+        model = model._replace(sk_cache=jnp.stack(rows))
+
+        for tid in (0, cfg.num_frames - 1):
+            t = model.train_times[tid]
+            ref = sk_gs.sk_stage(cfg, model, pts, t, time_id=None,
+                                 training=True)
+            got = sk_gs.sk_stage(cfg_tti, model, pts, t, time_id=None,
+                                 training=False)
+            np.testing.assert_allclose(np.asarray(got.d_xyz),
+                                       np.asarray(ref.d_xyz), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got.d_rotation),
+                                       np.asarray(ref.d_rotation), atol=1e-5)
+
+    def test_interpolated_midpoint_is_finite_and_between(self, model_and_cfg):
+        model, cfg = model_and_cfg
+        cfg_tti = cfg._replace(test_time_interpolate=True)
+        pts = model.params['xyz']
+        rows = []
+        for tid in range(cfg.num_frames):
+            out = sk_gs.sk_stage(cfg, model, pts, model.train_times[tid],
+                                 time_id=tid, training=True)
+            rows.append(out.aux['cache_row'])
+        model = model._replace(sk_cache=jnp.stack(rows))
+        t_mid = 0.5 * (model.train_times[0] + model.train_times[1])
+        got = sk_gs.sk_stage(cfg_tti, model, pts, t_mid, time_id=None,
+                             training=False)
+        assert np.isfinite(np.asarray(got.d_xyz)).all()

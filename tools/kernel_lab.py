@@ -29,6 +29,11 @@ def main():
     ap.add_argument('--reps', type=int, default=32)
     ap.add_argument('--cap', type=int, default=2 ** 17)
     ap.add_argument('--diag', default='none')
+    ap.add_argument('--schedule', default=None)
+    ap.add_argument('--qform', default=None)
+    ap.add_argument('--colsum', default=None)
+    ap.add_argument('--moments', default=None)
+    ap.add_argument('--matprec', default=None)
     ap.add_argument('--sweep', action='store_true',
                     help='run the predefined knob sweep in one process')
     args = ap.parse_args()
@@ -69,6 +74,10 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
     tk.IMPL['cumsum'] = cumsum
     tk.IMPL['gate_dma'] = bool(gate)
     tk.IMPL['diag'] = diag
+    for knob in ('schedule', 'qform', 'colsum', 'moments', 'matprec'):
+        val = getattr(args, knob, None)
+        if val is not None:
+            tk.IMPL[knob] = val
     print(f"\n== IMPL={tk.IMPL} chunk={chunk} size={args.size} n={args.n} ==",
           flush=True)
 
@@ -139,22 +148,46 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
         return b.chunk_tile + z, b.chunk_start_flag + z, b.chunk_valid + z, \
             b.chunk_src + z
 
-    def body_fwd(c):
-        ct, cs, sv, sc = perturb(c)
-        color, alpha = tk._pallas_forward(feat_s, ct, cs, sv, sc, cfg, ch)
-        return c + 0.0 * (jnp.sum(color[::64]) + jnp.sum(alpha[::64]))
+    tile_sched = tk.IMPL['schedule'] == 'tile'
 
-    color0, alpha0 = jax.jit(
-        lambda: tk._pallas_forward(feat_s, b.chunk_tile, b.chunk_start_flag,
-                                   b.chunk_valid, b.chunk_src, cfg, ch))()
+    def perturb_tile(c):
+        z = (0.0 * c).astype(jnp.int32)
+        return b.tile_start + z, b.tile_count + z
+
+    if tile_sched:
+        def body_fwd(c):
+            ts, tcn = perturb_tile(c)
+            color, alpha = tk._pallas_forward_tile(feat_s, ts, tcn, cfg, ch)
+            return c + 0.0 * (jnp.sum(color[::64]) + jnp.sum(alpha[::64]))
+
+        color0, alpha0 = jax.jit(
+            lambda: tk._pallas_forward_tile(feat_s, b.tile_start,
+                                            b.tile_count, cfg, ch))()
+    else:
+        def body_fwd(c):
+            ct, cs, sv, sc = perturb(c)
+            color, alpha = tk._pallas_forward(feat_s, ct, cs, sv, sc, cfg, ch)
+            return c + 0.0 * (jnp.sum(color[::64]) + jnp.sum(alpha[::64]))
+
+        color0, alpha0 = jax.jit(
+            lambda: tk._pallas_forward(feat_s, b.chunk_tile,
+                                       b.chunk_start_flag,
+                                       b.chunk_valid, b.chunk_src, cfg, ch))()
     gcol = jnp.ones_like(color0) * 0.3
     galp = jnp.ones_like(alpha0) * 0.1
 
-    def body_bwd(c):
-        ct, cs, sv, sc = perturb(c)
-        gfeat = tk._pallas_backward(feat_s, ct, cs, sv, sc, color0, alpha0,
-                                    gcol, galp, cfg, ch)
-        return c + 0.0 * jnp.sum(gfeat[::512, ::32])
+    if tile_sched:
+        def body_bwd(c):
+            ts, tcn = perturb_tile(c)
+            gfeat = tk._pallas_backward_tile(feat_s, ts, tcn, color0, alpha0,
+                                             gcol, galp, cfg, ch)
+            return c + 0.0 * jnp.sum(gfeat[::512, ::32])
+    else:
+        def body_bwd(c):
+            ct, cs, sv, sc = perturb(c)
+            gfeat = tk._pallas_backward(feat_s, ct, cs, sv, sc, color0,
+                                        alpha0, gcol, galp, cfg, ch)
+            return c + 0.0 * jnp.sum(gfeat[::512, ::32])
 
     def body_full(c):
         ct, cs, sv, sc = perturb(c)
@@ -165,8 +198,8 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
         def loss(xys, conic, opa, col):
             tc, ta = tk._blend_custom(
                 b2.sort_gauss, b2.chunk_tile, b2.chunk_start_flag,
-                b2.chunk_valid, b2.chunk_src, b2.tile_nonempty,
-                xys, conic, opa, col, cfg)
+                b2.chunk_valid, b2.chunk_src, b2.tile_start, b2.tile_count,
+                b2.tile_nonempty, xys, conic, opa, col, cfg)
             return jnp.sum(tc * 0.3) + jnp.sum(ta * 0.1)
 
         val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(

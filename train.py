@@ -17,6 +17,8 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 
 def build_scene(cfg):
+    """Returns (scene, meta, eval_scene, pcd): pcd is the dataset's seed
+    point cloud (colmap points3D) or None -> random/init_ply fallback."""
     kind = cfg['dataset'].get('kind', 'synthetic')
     if kind == 'synthetic':
         from sk_gs_tpu.data.synthetic import make_synthetic_scene
@@ -31,7 +33,7 @@ def build_scene(cfg):
             pair_capacity=int(cfg['raster']['pair_capacity']),
             chunk=int(cfg['raster']['chunk']),
             use_pallas=_use_pallas(cfg))
-        return scene, meta, scene  # eval on train split for synthetic
+        return scene, meta, scene, None  # eval on train split
     d = cfg['dataset']
     ds = float(d.get('downscale', 1))
     bg = d.get('background', 'white')
@@ -44,7 +46,7 @@ def build_scene(cfg):
                                        downscale=ds, background=bg)
         except FileNotFoundError:
             eval_scene = scene
-        return scene, meta, eval_scene
+        return scene, meta, eval_scene, None
     if kind == 'wim':
         from sk_gs_tpu.data.wim import load_wim
         fr = tuple(d.get('frame_ranges', (0, 50)))
@@ -56,7 +58,27 @@ def build_scene(cfg):
                                      frame_ranges=fr)
         except FileNotFoundError:
             eval_scene = scene
-        return scene, meta, eval_scene
+        return scene, meta, eval_scene, None
+    if kind == 'zju_pickled':
+        from sk_gs_tpu.data.zju import load_zju_pickled
+        scene, meta = load_zju_pickled(
+            d['root'], str(d['scene']),
+            pickle_path=d.get('pickle_path', 'cache_train.pickle'),
+            frame_ranges=tuple(d.get('frame_ranges', (-1, -1))),
+            image_size=int(d.get('image_size', 512)),
+            compression=bool(d.get('compression', True)),
+            background=bg)
+        try:
+            eval_scene, _ = load_zju_pickled(
+                d['root'], str(d['scene']),
+                pickle_path=d.get('eval_pickle_path', 'cache_test.pickle'),
+                frame_ranges=tuple(d.get('frame_ranges', (-1, -1))),
+                image_size=int(d.get('image_size', 512)),
+                compression=bool(d.get('compression', True)),
+                background=bg)
+        except FileNotFoundError:
+            eval_scene = scene
+        return scene, meta, eval_scene, None
     if kind == 'zju':
         from sk_gs_tpu.data.zju import load_zju
         scene, meta = load_zju(d['root'], str(d['scene']), 'train',
@@ -66,7 +88,13 @@ def build_scene(cfg):
                                      downscale=int(ds), background=bg)
         except FileNotFoundError:
             eval_scene = scene
-        return scene, meta, eval_scene
+        return scene, meta, eval_scene, None
+    if kind == 'colmap':
+        from sk_gs_tpu.data.colmap import load_colmap
+        scene, meta, pts, cols = load_colmap(
+            d['root'], images_dir=d.get('images_dir', 'images'),
+            downscale=ds, background=bg)
+        return scene, meta, scene, (pts, cols)
     raise NotImplementedError(f"dataset kind {kind}")
 
 
@@ -143,6 +171,7 @@ def build_model_cfg(cfg, meta, image_size):
         sp_split_threshold=float(m.get('sp_split_threshold', 2e-4)),
         sp_merge_threshold=float(m.get('sp_merge_threshold', 5e-4)),
         guided_step_start=int(m.get('guided_step_start', 40000)),
+        test_time_interpolate=bool(m.get('test_time_interpolate', False)),
         **sk_ac,
     )
     w, h = image_size
@@ -224,13 +253,25 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     save_config(cfg, out_dir / 'config.yaml')
 
-    scene, meta, eval_scene = build_scene(cfg)
+    scene, meta, eval_scene, ds_pcd = build_scene(cfg)
     skcfg, rcfg = build_model_cfg(cfg, meta, scene.image_size)
 
-    rng = np.random.default_rng(int(cfg['train'].get('seed', 0)))
-    n0 = int(cfg['train'].get('num_init_points', 2000))
-    pts = rng.uniform(-1.3, 1.3, size=(n0, 3)).astype(np.float32)
-    cols = rng.uniform(size=(n0, 3)).astype(np.float32)
+    # point-cloud seeding priority (reference train.py:52-85): explicit
+    # init_ply > dataset point cloud (colmap points3D) > random in bounds
+    init_ply = cfg['train'].get('init_ply') or cfg['dataset'].get('init_ply')
+    if init_ply:
+        from sk_gs_tpu.utils.ply import load_point_ply
+        pts, cols = load_point_ply(init_ply)
+        logging.info('init point cloud from %s (%d points)', init_ply,
+                     len(pts))
+    elif ds_pcd is not None:
+        pts, cols = ds_pcd
+        logging.info('init point cloud from dataset (%d points)', len(pts))
+    else:
+        rng = np.random.default_rng(int(cfg['train'].get('seed', 0)))
+        n0 = int(cfg['train'].get('num_init_points', 2000))
+        pts = rng.uniform(-1.3, 1.3, size=(n0, 3)).astype(np.float32)
+        cols = rng.uniform(size=(n0, 3)).astype(np.float32)
     base = init_from_pcd(pts, cols, skcfg.gauss)
     model = sk_gs.init_model(jax.random.PRNGKey(int(cfg['train'].get('seed', 0))),
                              skcfg, base, np.asarray(meta.train_times))
@@ -252,6 +293,19 @@ def main(argv=None):
                            total_steps=skcfg.total_steps,
                            seed=int(cfg['train'].get('seed', 0)), **samp_kw)
 
+    # multi-chip: `parallel: {n_view: V, n_gs: G}` builds a (view, gs) mesh
+    # over V*G devices; the trainer step shards views data-parallel and the
+    # per-Gaussian work + rasterizer over 'gs' (framework/trainer.py _core)
+    mesh = None
+    par_cfg = cfg['train'].get('parallel') or {}
+    n_view = int(par_cfg.get('n_view', 1))
+    n_gs = int(par_cfg.get('n_gs', 1))
+    if n_view * n_gs > 1:
+        from sk_gs_tpu.parallel import make_mesh
+        mesh = make_mesh(n_view=n_view, n_gs=n_gs)
+        logging.info('multi-chip mesh: view=%d x gs=%d over %d devices',
+                     n_view, n_gs, n_view * n_gs)
+
     trainer = SKGSTrainer(skcfg, rcfg, scene, meta, model,
                           loss_weights=LossWeights(cfg.get('loss', {})),
                           eval_scene=eval_scene, pcd=(pts, cols),
@@ -259,7 +313,8 @@ def main(argv=None):
                           seed=int(cfg['train'].get('seed', 0)),
                           clip_norm=float(cfg['train'].get('clip_norm', 0.0)),
                           batch_views=int(cfg['train'].get('batch_views', 1)),
-                          optimizer=cfg['train'].get('optimizer', 'adam'))
+                          optimizer=cfg['train'].get('optimizer', 'adam'),
+                          mesh=mesh)
     ckpt = CheckpointManager(out_dir / 'checkpoints',
                              interval=int(cfg['train'].get('checkpoint_interval', 5000)))
     trainer.snapshot_fn = lambda name: ckpt.save(
