@@ -77,7 +77,8 @@ def main(argv=None):
 
     @jax.jit
     def render_frame(model, view: ViewParams, t, sk_r_delta):
-        out_def = forward_deltas(skcfg, model, t, 'sk', sk_r_delta=sk_r_delta)
+        out_def = forward_deltas(skcfg, model, t, 'sk', sk_r_delta=sk_r_delta,
+                                 training=False)
         g = gaussian_inputs(model.gauss_view(), skcfg.gauss,
                             d_xyz=out_def.d_xyz,
                             d_rotation=out_def.d_rotation,

@@ -31,6 +31,11 @@ class DeformNetConfig(NamedTuple):
     sep_rot: bool = False
     max_d_scale: float = -1.0
     time_out: int = 30
+    # 'bfloat16' = mixed precision: master params stay f32 (optimizer, exact
+    # adds), the net COMPUTES in bf16 and returns f32. The TPU analogue of
+    # the reference's AMP fp16 path (my_ext/framework.py:264-306) — no loss
+    # scaler needed (bf16 shares the f32 exponent range).
+    compute_dtype: str = 'float32'
 
     @property
     def skips(self) -> Tuple[int, ...]:
@@ -90,12 +95,19 @@ def deform_net_apply(params: Dict[str, Any], cfg: DeformNetConfig,
     Note the reference timenet has NO trailing activation on its last layer
     (nn.Sequential Linear-ReLU-Linear, sk_gs.py:250-253).
     """
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        params = jax.tree.map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
     t = jnp.broadcast_to(jnp.reshape(t, (-1, 1)), (x.shape[0], 1))
-    t_emb = cfg.t_enc(t)
+    # frequency encoding stays f32: sin(x * 2^k) needs full input mantissa
+    # (bf16 x would give O(1) phase error at the top octaves); the MLP
+    # trunk computes in compute_dtype
+    t_emb = cfg.t_enc(t).astype(dt)
     if cfg.is_blender:
         h = jax.nn.relu(mlp_ops.linear_apply(params['timenet'][0], t_emb))
         t_emb = mlp_ops.linear_apply(params['timenet'][1], h)
-    x_emb = cfg.pos_enc(x)
+    x_emb = cfg.pos_enc(x).astype(dt)
     inp = jnp.concatenate([x_emb, t_emb], axis=-1)
     h = inp
     for i, layer in enumerate(params['trunk']):
@@ -111,6 +123,8 @@ def deform_net_apply(params: Dict[str, Any], cfg: DeformNetConfig,
            'hidden': h}
     if 'local_rotation' in params:
         out['g_rotation'] = mlp_ops.linear_apply(params['local_rotation'], h)
+    if dt != jnp.float32:
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
     return out
 
 
@@ -124,6 +138,7 @@ class SkeletonNetConfig(NamedTuple):
     pos_degree: int = 10
     t_degree: int = 6
     p_in_channels: int = 3
+    compute_dtype: str = 'float32'  # see DeformNetConfig.compute_dtype
 
     @property
     def pos_enc(self) -> FreqEncoder:
@@ -146,6 +161,15 @@ def skeleton_net_init(key, cfg: SkeletonNetConfig) -> Dict[str, Any]:
 def skeleton_net_apply(params: Dict[str, Any], cfg: SkeletonNetConfig,
                        joints: jnp.ndarray, t: jnp.ndarray):
     """joints [M, C] + scalar t -> tuple of per-joint outputs (R, d_rot, d_scale)."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        params = jax.tree.map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
     t = jnp.broadcast_to(jnp.reshape(t, (-1, 1)), (joints.shape[0], 1))
-    inp = jnp.concatenate([cfg.pos_enc(joints), cfg.t_enc(t)], axis=-1)
-    return mlp_ops.mlp_apply(params, inp, skips=cfg.skips, multi_head=True)
+    # encoders f32 (see deform_net_apply), trunk in compute_dtype
+    inp = jnp.concatenate([cfg.pos_enc(joints), cfg.t_enc(t)],
+                          axis=-1).astype(dt)
+    outs = mlp_ops.mlp_apply(params, inp, skips=cfg.skips, multi_head=True)
+    if dt != jnp.float32:
+        outs = tuple(o.astype(jnp.float32) for o in outs)
+    return outs

@@ -4,27 +4,29 @@ The production equivalent of ``renderCUDA_forward`` / ``renderCUDA_backward``
 (/root/reference/my_ext/_C/src/nerf/gaussian_render.cu:17-112, :183-341),
 re-designed for the TPU execution model:
 
-- grid = one program per C-splat chunk of the (conceptually padded)
-  tile-sorted splat list; consecutive chunks of a tile hit the same output
-  block, which stays resident in VMEM (flash-attention-style revisiting);
+- default 'tile' schedule: grid = one program per tile; a dynamic
+  fori_loop walks the tile's C-splat chunks (segment start/count from
+  scalar prefetch), so padding produces NO grid steps and the
+  transmittance early-out gates both the math and the gradient stores.
+  (The round-1 'chunk' schedule — a static grid over padded chunks with
+  VMEM-resident output-block revisiting — is kept as a knob.)
 - the splat features live UNPADDED in HBM in tile-sorted order; each
   chunk's entries are CONTIGUOUS there, so the kernel streams them with
-  manually double-buffered DMA (per-chunk start offset from scalar
-  prefetch). This avoids materializing a padded gather — XLA random gathers
-  cost ~10 ns/element on TPU, contiguous DMA is ~free. Chunks past the last
-  live pair (`chunk_valid == 0`, a contiguous tail of the static grid) skip
-  both the DMA and the math;
-- entries past the chunk's valid count are masked (alpha 0); the analogous
-  backward store tail overlaps the next tile's first rows, but grid steps
-  execute in order so the next tile's own (later, correct) store wins;
+  manually double-buffered DMA. This avoids materializing a padded
+  gather — XLA random gathers cost ~10 ns/element on TPU, contiguous DMA
+  is ~free;
+- entries past the chunk's valid count are masked (alpha 0); the backward
+  streams per-chunk gradient tiles back to HBM through a two-slot store
+  pipeline whose cross-tile drains order the overlapping tail rows;
 - within a chunk the front-to-back walk uses exact Hillis-Steele prefix
-  products (TPU exp/log error makes log-space matmuls drift ~5% over 256
-  terms); transmittance carries across chunks in scratch. The walk keeps
-  the EXCLUSIVE product p_excl so the weights w = alpha * p_excl need no
-  per-element divide; the backward re-walks front-to-back using the suffix
-  color S_i = C_final - C_incl_i, a single 1/(1-alpha) reciprocal, and DMAs
-  per-entry grads out per chunk (segment-summed back to Gaussians outside —
-  the atomicAdd equivalent).
+  products (TPU exp/log error makes log-space matmuls drift; A/B'd knob
+  'logmxu' kept). The walk keeps the EXCLUSIVE product p_excl so the
+  weights w = alpha * p_excl need no per-element divide. The backward
+  collapses all per-channel suffix passes by linearity into ONE combined
+  cumsum of w * (cols @ g_color) plus a single carried row — the measured
+  winner over both the per-channel form and full-MXU moment matmuls — and
+  DMAs per-entry grads out per chunk (segment-summed back to Gaussians
+  outside, the atomicAdd equivalent).
 
 Layout: splat entries on sublanes (C), tile pixels on lanes (P = 256).
 Gradient conventions match the CUDA backward: the 0.99 alpha clamp is

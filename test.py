@@ -78,7 +78,7 @@ def main(argv=None):
 
         @jax.jit
         def render_t(m, t):
-            out_def = forward_deltas(skcfg, m, t, stage)
+            out_def = forward_deltas(skcfg, m, t, stage, training=False)
             g = gaussian_inputs(m.gauss_view(), skcfg.gauss,
                                 d_xyz=out_def.d_xyz,
                                 d_rotation=out_def.d_rotation,

@@ -262,3 +262,101 @@ class TestZJUPickled:
                                        frame_ranges=(1, 4))
         assert meta.num_frames == 3
         assert scene.images.shape[0] == n_cams * 3
+
+
+class TestLoaderConventions:
+    """Value-level parity with the REFERENCE loader formulas (not just
+    shapes): Tw2v from transform_matrix via the opengl->colmap conversion
+    c2w' = c2w @ diag(1,-1,-1,1) then invert (DNerfDataset.py:109 with
+    convert_coord_system(..., inverse=True)); time from frame['time'];
+    fov from camera_angle_x; RGBA composited as lerp(bg, rgb, alpha)
+    (DNerfDataset.py:135-136)."""
+
+    def test_dnerf_tensors_match_reference_formulas(self, tmp_path, rng):
+        root = tmp_path / 'dnerf_conv'
+        scene_dir = root / 'chain'
+        (scene_dir / 'train').mkdir(parents=True)
+        # a NON-trivial c2w: rotation about y + offset
+        th = 0.3
+        c2w = np.array([[np.cos(th), 0, np.sin(th), 0.5],
+                        [0, 1, 0, -0.2],
+                        [-np.sin(th), 0, np.cos(th), 4.0],
+                        [0, 0, 0, 1]], np.float32)
+        img = rng.uniform(size=(24, 32, 4)).astype(np.float32)
+        _write_png(scene_dir / 'train' / 'r_0.png', img)
+        frames = [{'file_path': './train/r_0',
+                   'transform_matrix': c2w.tolist(), 'time': 0.25}]
+        with (scene_dir / 'transforms_train.json').open('w') as f:
+            json.dump({'camera_angle_x': 0.7, 'frames': frames}, f)
+
+        scene, meta = load_dnerf(str(root), 'chain', 'train',
+                                 background='white')
+
+        # reference formula, computed independently here
+        flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+        expect_Tw2v = np.linalg.inv(c2w @ flip)
+        got_Tw2v = np.asarray(scene.Tw2v[0])
+        np.testing.assert_allclose(got_Tw2v, expect_Tw2v, atol=1e-5)
+
+        # camera position = c2w translation (unchanged by the axis flip)
+        np.testing.assert_allclose(np.asarray(scene.campos[0]),
+                                   c2w[:3, 3], atol=1e-5)
+        # time taken from the json, not linspace
+        np.testing.assert_allclose(float(scene.times[0]), 0.25)
+        # fov: fovx = camera_angle_x; tan_fovy = tan(fovx/2) * H/W
+        np.testing.assert_allclose(float(scene.tan_fovx[0]),
+                                   np.tan(0.35), rtol=1e-5)
+        np.testing.assert_allclose(float(scene.tan_fovy[0]),
+                                   np.tan(0.35) * 24 / 32, rtol=1e-5)
+        # white-background composite: lerp(1, rgb, alpha)
+        px = np.asarray(img[5, 7])
+        quant = np.round(px * 255) / 255  # png quantization
+        expect_rgb = 1.0 * (1 - quant[3]) + quant[:3] * quant[3]
+        np.testing.assert_allclose(np.asarray(scene.images[0, 5, 7]),
+                                   expect_rgb, atol=2e-2)
+
+    def test_zju_extrinsics_match_annots_formula(self, tmp_path, rng):
+        # ZJUMoCapDataset: Tw2v = [R | T*1e-3] (annots stores mm), then
+        # the opengl->colmap conversion is a no-op for w2v built this way
+        # only if coord_src == coord_dst; the loader declares opengl src ->
+        # validate the full chain numerically instead of assuming
+        root = tmp_path / 'zju_conv'
+        scene_root = root / 'CoreView_1'
+        (scene_root / 'imgs').mkdir(parents=True)
+        (scene_root / 'mask').mkdir()
+        th = 0.4
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0],
+                      [0, 0, 1]], np.float32)
+        T = np.array([[100.0], [200.0], [3000.0]], np.float32)  # mm
+        K = np.array([[50.0, 0, 16], [0, 50.0, 16], [0, 0, 1]], np.float32)
+        n_cams = 2
+        Ks = np.tile(K, (n_cams, 1, 1))
+        Rs = np.stack([R, np.eye(3, dtype=np.float32)])
+        Ts = np.stack([T, np.zeros((3, 1), np.float32) + 1000.0])
+        ims = [{'ims': [f'imgs/f0_c{c}.png' for c in range(n_cams)]}]
+        for c in range(n_cams):
+            _write_png(scene_root / 'imgs' / f'f0_c{c}.png',
+                       rng.uniform(size=(32, 32, 3)).astype(np.float32))
+        annots = {'cams': {'K': Ks, 'R': Rs, 'T': Ts,
+                           'D': np.zeros((n_cams, 5))}, 'ims': ims}
+        np.save(scene_root / 'annots.npy', annots)
+
+        from sk_gs_tpu.data.zju import load_zju
+        scene, meta = load_zju(str(root), '1', 'train',
+                               train_camera_ids=(0,))
+        # world->view per annots: x_view = R x_world + T/1000 (meters)
+        w2v = np.zeros((4, 4), np.float32)
+        w2v[:3, :3] = R
+        w2v[:3, 3:] = T * 1e-3
+        w2v[3, 3] = 1
+        got = np.asarray(scene.Tw2v[0])
+        # the loader may apply a fixed axis flip F: got = F @ w2v with
+        # F in {I, diag(1,-1,-1,1)}; either way the CAMERA POSITION
+        # -R^T T/1000 must be preserved exactly
+        campos_expect = (-R.T @ (T * 1e-3))[:, 0]
+        np.testing.assert_allclose(np.asarray(scene.campos[0]),
+                                   campos_expect, atol=1e-5)
+        # and Tw2v must map the camera position to the view-space origin
+        hom = np.concatenate([campos_expect, [1.0]])
+        np.testing.assert_allclose((got @ hom)[:3], 0.0, atol=1e-5)

@@ -186,3 +186,48 @@ class TestSuperpointAdjust:
             sp, jnp.ones(m, bool), cache, 3, 0.01)
         assert int(min_index[0]) == 1 or int(min_index[1]) == 0
         assert float(min_diff[0]) < 1e-5 or float(min_diff[1]) < 1e-5
+
+
+class TestMixedPrecision:
+    """compute_dtype='bfloat16' (the reference --fp16 AMP analogue,
+    my_ext/framework.py:264-306): nets compute in bf16, return f32, stay
+    close to the f32 path, and train with finite grads."""
+
+    def test_deform_net_bf16_close_and_f32_out(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from sk_gs_tpu.models.deform import (DeformNetConfig,
+                                             deform_net_apply,
+                                             deform_net_init)
+        cfg = DeformNetConfig(depth=2, width=64, is_blender=True)
+        params = deform_net_init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (50, 3))
+        t = jnp.asarray(0.3)
+        out32 = deform_net_apply(params, cfg, x, t)
+        cfg16 = cfg._replace(compute_dtype='bfloat16')
+        out16 = deform_net_apply(params, cfg16, x, t)
+        assert out16['d_xyz'].dtype == jnp.float32
+        scale = float(jnp.abs(out32['hidden']).max()) + 1e-6
+        err = float(jnp.abs(out16['hidden'] - out32['hidden']).max()) / scale
+        assert err < 0.05, err
+        # grads flow (f32 cotangents through the casts) and are finite
+        g = jax.grad(lambda p: jnp.sum(
+            deform_net_apply(p, cfg16, x, t)['d_xyz'] ** 2))(params)
+        leaves = jax.tree.leaves(g)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_skeleton_net_bf16(self):
+        import jax
+        import jax.numpy as jnp
+        from sk_gs_tpu.models.deform import (SkeletonNetConfig,
+                                             skeleton_net_apply,
+                                             skeleton_net_init)
+        cfg = SkeletonNetConfig(out_dims=(4, 4, 3), width=32, depth=2,
+                                skips=(1,))
+        params = skeleton_net_init(jax.random.PRNGKey(0), cfg)
+        joints = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+        outs = skeleton_net_apply(params, cfg._replace(
+            compute_dtype='bfloat16'), joints, jnp.asarray(0.5))
+        assert all(o.dtype == jnp.float32 for o in outs)

@@ -30,7 +30,10 @@ def build_scene(cfg):
             gauss_per_link=int(d.get('gauss_per_link', 120)),
             num_frames=int(d.get('num_frames', 24)),
             h=hw, w=hw, background=d.get('background', 'white'),
-            pair_capacity=int(cfg['raster']['pair_capacity']),
+            # GT generation renders ~10^3 chain Gaussians: a 2^17 pair
+            # budget is ample and avoids compiling a second (huge)
+            # training-capacity binning program just for data synthesis
+            pair_capacity=min(int(cfg['raster']['pair_capacity']), 2 ** 17),
             chunk=int(cfg['raster']['chunk']),
             use_pallas=_use_pallas(cfg))
         return scene, meta, scene, None  # eval on train split
@@ -134,12 +137,17 @@ def build_model_cfg(cfg, meta, image_size):
             sk_ac[key] = tuple(int(v) for v in ac.pop(key))
     if ac:
         raise KeyError(f'unknown adaptive_control keys: {sorted(ac)}')
+    # train.precision: bf16 = mixed-precision net compute (master params
+    # f32); the reference --fp16 AMP analogue (my_ext/framework.py:264-306)
+    precision = str(cfg['train'].get('precision', 'f32'))
+    cdt = 'bfloat16' if precision in ('bf16', 'bfloat16') else 'float32'
     net = DeformNetConfig(
         depth=int(m['net'].get('depth', 8)), width=int(m['net'].get('width', 256)),
         pos_degree=int(m['net'].get('pos_degree', 10)),
         t_degree=int(m['net'].get('t_degree', 6)),
         is_blender=bool(m.get('is_blender', True)),
-        sep_rot=bool(m.get('sep_rot', False)))
+        sep_rot=bool(m.get('sep_rot', False)),
+        compute_dtype=cdt)
     sk_net_skips = (max(1, int(m['net'].get('depth', 8)) // 2),)
     skcfg = SKGSConfig(
         gauss=GaussianConfig(capacity=int(m['capacity']),
@@ -149,7 +157,8 @@ def build_model_cfg(cfg, meta, image_size):
         net=net,
         sk_net=SkeletonNetConfig(
             out_dims=(4, 4, 3), width=int(m['net'].get('width', 256)),
-            depth=int(m['net'].get('depth', 8)), skips=sk_net_skips),
+            depth=int(m['net'].get('depth', 8)), skips=sk_net_skips,
+            compute_dtype=cdt),
         train_schedule=sched,
         num_superpoints=int(m['num_superpoints']),
         num_knn=int(m['num_knn']),

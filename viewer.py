@@ -186,7 +186,8 @@ class ViewerState:
         def _render_rgb(model, view, t, sk_r_delta):
             out_def = forward_deltas(skcfg, model, t, stage,
                                      sk_r_delta=sk_r_delta
-                                     if stage in ('sk', 'sk_fix') else None)
+                                     if stage in ('sk', 'sk_fix') else None,
+                                     training=False)
             g = gaussian_inputs(model.gauss_view(), skcfg.gauss,
                                 d_xyz=out_def.d_xyz,
                                 d_rotation=out_def.d_rotation,
@@ -201,7 +202,8 @@ class ViewerState:
         def _render_sp(model, view, t, sk_r_delta):
             out_def = forward_deltas(skcfg, model, t, stage,
                                      sk_r_delta=sk_r_delta
-                                     if stage in ('sk', 'sk_fix') else None)
+                                     if stage in ('sk', 'sk_fix') else None,
+                                     training=False)
             g = gaussian_inputs(model.gauss_view(), skcfg.gauss,
                                 d_xyz=out_def.d_xyz,
                                 d_rotation=out_def.d_rotation,
@@ -214,7 +216,7 @@ class ViewerState:
         @jax.jit
         def _skeleton_2d(model, view, t, sk_r_delta):
             out_def = forward_deltas(skcfg, model, t, 'sk',
-                                     sk_r_delta=sk_r_delta)
+                                     sk_r_delta=sk_r_delta, training=False)
             sk_T = out_def.aux['skT']
             pos_w = se3.se3_act(sk_T, model.params['joints'])
             ones = jnp.ones((pos_w.shape[0], 1))
