@@ -1174,7 +1174,11 @@ class SKGSTrainer:
                 vals['LPIPS (vgg)'] = lpips(img_np, gt_np, net='vgg')
             for k, v in vals.items():
                 sums[k] = sums.get(k, 0.0) + v
-        return {k: v / max(scene.num_views, 1) for k, v in sums.items()}
+        out = {k: v / max(scene.num_views, 1) for k, v in sums.items()}
+        # LPIPS needs the optional torch `lpips` package + downloadable
+        # weights; when unavailable it returns NaN — drop those columns
+        # rather than writing NaN into results.json
+        return {k: v for k, v in out.items() if np.isfinite(v)}
 
     def _render_eval_fn(self, stage: str):
         """Jitted eval renderer per stage (eager re-trace per view would be
