@@ -42,7 +42,7 @@ def main(argv=None):
     from train import build_model_cfg, build_scene
 
     cfg = make_config(args.config, args.overrides)
-    scene, meta, eval_scene = build_scene(cfg)
+    scene, meta, eval_scene, _pcd = build_scene(cfg)
     skcfg, rcfg = build_model_cfg(cfg, meta, scene.image_size)
 
     rng = np.random.default_rng(int(cfg['train'].get('seed', 0)))
