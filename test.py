@@ -27,7 +27,12 @@ def main(argv=None):
     parser.add_argument('--fps-sweep', action='store_true',
                         help='1000-render FPS benchmark at varying t')
     parser.add_argument('--out', default=None)
+    parser.add_argument('--scene', default=None,
+                        help='shortcut for --set dataset.scene=... '
+                             '(reference train.py --scene parity)')
     args = parser.parse_args(argv)
+    if getattr(args, 'scene', None):
+        args.overrides = list(args.overrides) + [f'dataset.scene={args.scene}']
 
     logging.basicConfig(level=logging.INFO)
     import jax

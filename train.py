@@ -237,10 +237,15 @@ def main(argv=None):
     parser.add_argument('--steps', type=int, default=None,
                         help='override total steps (truncate schedule)')
     parser.add_argument('--resume', type=str, default=None)
+    parser.add_argument('--scene', default=None,
+                        help='shortcut for --set dataset.scene=... '
+                             '(reference train.py --scene parity)')
     parser.add_argument('--profile', type=int, default=0,
                         help='capture a jax.profiler trace for N steps '
                              '(starting after the first eval warmup)')
     args = parser.parse_args(argv)
+    if getattr(args, 'scene', None):
+        args.overrides = list(args.overrides) + [f'dataset.scene={args.scene}']
 
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(levelname)s %(message)s')
