@@ -110,14 +110,37 @@ def make_synthetic_scene(seed: int = 0, num_links: int = 3,
                          gauss_per_link: int = 120, num_frames: int = 24,
                          h: int = 64, w: int = 64, background: str = 'white',
                          pair_capacity: int = 2 ** 16, chunk: int = 64,
-                         use_pallas: bool = False
+                         use_pallas: bool = False, cache_dir: str = None
                          ) -> Tuple[Scene, SceneMeta, ArticulatedGT]:
     """Render the GT chain from an orbit (one camera per time step, matching
-    the D-NeRF monocular protocol)."""
+    the D-NeRF monocular protocol).
+
+    `cache_dir`: if set, the rendered GT images are cached on disk keyed by
+    the scene parameters, so restarts/resumes of long runs skip the ~F device
+    renders at startup (and see bit-identical data regardless of when the
+    process restarted)."""
     rng = np.random.default_rng(seed)
     gt = make_chain_gt(rng, num_links, gauss_per_link, num_frames)
     Tv2w, fovx = orbit_views(num_frames, h=h, w=w)
     fovy = tf.fovx_to_fovy(fovx, w / h)
+    cache = frame_dir = None
+    if cache_dir is not None:
+        from pathlib import Path
+        key = (f"chain_s{seed}_l{num_links}_g{gauss_per_link}"
+               f"_f{num_frames}_{h}x{w}_{background}")
+        cache = Path(cache_dir) / f"{key}.npz"
+        if cache.exists():
+            images = np.load(cache)['images']
+            times = np.linspace(0, 1, num_frames).astype(np.float32)
+            meta = SceneMeta(background_type=background, near=0.5, far=20.0,
+                             scene='synthetic_chain')
+            scene, meta = build_scene(images, Tv2w, fovx, times, meta)
+            return scene, meta, gt
+        # per-frame partials: the TPU tunnel can crash mid-generation, so
+        # each rendered frame lands on disk immediately and a retried call
+        # resumes from the first missing frame
+        frame_dir = Path(cache_dir) / f"{key}.frames"
+        frame_dir.mkdir(parents=True, exist_ok=True)
     cfg = RasterConfig(image_width=w, image_height=h, sh_degree=0,
                        pair_capacity=pair_capacity, chunk=chunk,
                        use_pallas=use_pallas)
@@ -146,12 +169,24 @@ def make_synthetic_scene(seed: int = 0, num_links: int = 3,
         return composite_background(out['images'], out['opacity'], bg)
 
     for f in range(num_frames):
+        fpath = frame_dir / f"f{f:04d}.npy" if frame_dir is not None else None
+        if fpath is not None and fpath.exists():
+            images.append(np.load(fpath))
+            continue
         g = gt_frame_gaussians(gt, f)
         Tw2v = jnp.asarray(np.linalg.inv(Tv2w[f]).astype(np.float32))
         img = render_frame(g, Tw2v, jnp.asarray(Tv2w[f, :3, 3]))
-        images.append(np.asarray(img))
+        img = np.asarray(img)
+        if fpath is not None:
+            np.save(fpath, img)
+        images.append(img)
 
     images = np.stack(images)
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(cache, images=images)
+        import shutil
+        shutil.rmtree(frame_dir, ignore_errors=True)
     times = np.linspace(0, 1, num_frames).astype(np.float32)
     scene, meta = build_scene(images, Tv2w, fovx, times, meta)
     return scene, meta, gt

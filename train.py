@@ -35,7 +35,8 @@ def build_scene(cfg):
             # training-capacity binning program just for data synthesis
             pair_capacity=min(int(cfg['raster']['pair_capacity']), 2 ** 17),
             chunk=int(cfg['raster']['chunk']),
-            use_pallas=_use_pallas(cfg))
+            use_pallas=_use_pallas(cfg),
+            cache_dir=d.get('root'))
         return scene, meta, scene, None  # eval on train split
     d = cfg['dataset']
     ds = float(d.get('downscale', 1))
