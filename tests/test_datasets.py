@@ -103,6 +103,40 @@ class TestSynthetic:
         d = float(np.abs(np.asarray(scene.images[0] - scene.images[-1])).max())
         assert d > 0.05
 
+    def test_gt_disk_cache_roundtrip(self, tmp_path):
+        kw = dict(seed=3, num_links=2, gauss_per_link=20, num_frames=4,
+                  h=32, w=32, pair_capacity=2 ** 11, chunk=64,
+                  cache_dir=str(tmp_path))
+        s1, m1, _ = make_synthetic_scene(**kw)
+        npzs = list(tmp_path.glob('*.npz'))
+        assert len(npzs) == 1
+        assert not list(tmp_path.glob('*.frames')), 'partials not cleaned up'
+        # cache hit reproduces the scene bit-exactly
+        s2, m2, _ = make_synthetic_scene(**kw)
+        assert np.array_equal(np.asarray(s1.images), np.asarray(s2.images))
+        assert np.array_equal(np.asarray(s1.Tw2v), np.asarray(s2.Tw2v))
+        assert m1.background_type == m2.background_type
+        assert m1.num_frames == m2.num_frames
+        assert np.allclose(np.asarray(m1.train_times),
+                           np.asarray(m2.train_times))
+
+    def test_gt_cache_partial_resume(self, tmp_path):
+        kw = dict(seed=3, num_links=2, gauss_per_link=20, num_frames=4,
+                  h=32, w=32, pair_capacity=2 ** 11, chunk=64,
+                  cache_dir=str(tmp_path))
+        s1, _, _ = make_synthetic_scene(**kw)
+        imgs = np.asarray(s1.images)
+        npz = list(tmp_path.glob('*.npz'))[0]
+        # simulate a crash after two frames: npz gone, two partials on disk
+        npz.unlink()
+        fd = tmp_path / (npz.stem + '.frames')
+        fd.mkdir()
+        np.save(fd / 'f0000.npy', imgs[0])
+        np.save(fd / 'f0001.npy', imgs[1])
+        s3, _, _ = make_synthetic_scene(**kw)
+        assert np.allclose(np.asarray(s3.images), imgs, atol=1e-6)
+        assert list(tmp_path.glob('*.npz')), 'resume must consolidate'
+
 
 class TestSamplers:
     def test_uniform_covers_all(self):
