@@ -29,11 +29,33 @@ ROT_BIAS = jnp.asarray([0.0, 0.0, 0.0, 1.0])
 
 def masked_knn(queries: jnp.ndarray, keys: jnp.ndarray, key_mask: jnp.ndarray,
                k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """KNN over a masked key set (M is small: one dense [N, M] distance)."""
+    """KNN over a masked key set (M is small: one dense [N, M] distance).
+
+    Selection runs as k argmin passes instead of ``jax.lax.top_k``: on TPU
+    top_k lowers to a per-row sort of all M columns (O(M log^2 M) comparator
+    stages on the VPU), while k reduce+select passes are plain [N, M]
+    vector work — ~an order of magnitude cheaper at the production shape
+    ([100k, 512], k=5). The result is IDENTICAL to top_k(-d2, k) including
+    tie-breaking (both pick the lowest index first) and gradient flow
+    (take_along_axis gather of d2, matching top_k's gather VJP).
+    """
     d2 = jnp.sum(jnp.square(queries[:, None, :] - keys[None, :, :]), axis=-1)
     d2 = jnp.where(key_mask[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return -neg, idx
+    m = d2.shape[1]
+    col = jnp.arange(m, dtype=jnp.int32)[None, :]
+    # selection key: dead columns get huge FINITE values increasing with
+    # index (not inf), so even an all-dead row yields ascending indices —
+    # exactly top_k's tie order among equal -inf entries; any real distance
+    # is far below the 3e38-scale ramp
+    ramp = (col + 1).astype(jnp.float32) * jnp.float32(3.0e38 / m)
+    taken = jnp.where(key_mask[None, :], d2, ramp)
+    dists, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(taken, axis=1).astype(jnp.int32)         # [N]
+        dists.append(jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0])
+        idxs.append(i)
+        taken = jnp.where(col == i[:, None], jnp.inf, taken)
+    return jnp.stack(dists, axis=1), jnp.stack(idxs, axis=1)
 
 
 def calc_lbs_weight(points: jnp.ndarray, sp_points: jnp.ndarray,
