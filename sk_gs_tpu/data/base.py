@@ -46,6 +46,11 @@ class Scene(NamedTuple):
                           campos=self.campos[i], tan_fovx=self.tan_fovx[i],
                           tan_fovy=self.tan_fovy[i])
 
+    def view_tree(self) -> ViewParams:
+        """All views as one [F, ...] ViewParams (for in-graph gathers)."""
+        return ViewParams(Tw2v=self.Tw2v, Tv2c=self.Tv2c, campos=self.campos,
+                          tan_fovx=self.tan_fovx, tan_fovy=self.tan_fovy)
+
 
 @dataclass
 class SceneMeta:

@@ -842,24 +842,40 @@ class SKGSTrainer:
                 'denom': model.denom + n_seen,
             }
 
-        @partial(jax.jit, static_argnames=('stage',))
-        def train_step(model: SKGSModel, opt_state, view: ViewParams,
-                       image, t, time_id, sched, key, bg, gs_knn_index,
-                       stage: str):
-            k_noise, k_other, k_bg = jax.random.split(key, 3)
-            batched = view.Tw2v.ndim == 3
+        @partial(jax.jit, static_argnames=('stage', 'batched'))
+        def train_step(model: SKGSModel, opt_state, scene: Scene,
+                       sched, key, bg, gs_knn_index, stage: str,
+                       batched: bool):
+            # ONE dispatch per step: sample indices ride packed as f32 at
+            # the tail of the sched vector (exact for ints < 2^24), the RNG
+            # split and all scene gathers happen in-graph (each host-side
+            # device op is a ~2-9 ms tunnel round-trip)
+            idxs = sched[2 + len(LW_NAMES):].astype(jnp.int32)
+            sched = sched[:2 + len(LW_NAMES)]
+            new_key, k_step = jax.random.split(key)
+            k_noise, k_other, k_bg = jax.random.split(k_step, 3)
             if batched:
+                view = jax.tree.map(lambda x: x[idxs], scene.view_tree())
+                image = scene.images[idxs]
+                t = scene.times[idxs]
+                time_id = scene.time_ids[idxs]
                 # per-sample keys split GLOBALLY so the multi-chip stream
                 # matches the single-chip scan order exactly
-                K = view.Tw2v.shape[0]
+                K = idxs.shape[0]
                 kns = jax.random.split(k_noise, K)
                 kbs = jax.random.split(k_bg, K)
             else:
+                vidx = idxs[0]
+                view = scene.view(vidx)
+                image = scene.images[vidx]
+                t = scene.times[vidx]
+                time_id = scene.time_ids[vidx]
                 kns, kbs = k_noise, k_bg
             if not par:
-                return _core(stage, model, opt_state, view, image, t,
-                             time_id, sched, kns, kbs, k_other, bg,
-                             gs_knn_index)
+                model, opt_state, metrics = _core(
+                    stage, model, opt_state, view, image, t, time_id,
+                    sched, kns, kbs, k_other, bg, gs_knn_index)
+                return model, opt_state, metrics, new_key
             if not batched:
                 raise ValueError("multi-chip training requires stacked "
                                  "[K, ...] sample batches (batch_views)")
@@ -869,8 +885,10 @@ class SKGSTrainer:
                 partial(_core, stage), self.mesh,
                 in_specs=(pr, pr, pv, pv, pv, pv, pr, pv, pv, pr, pr, pr),
                 out_specs=(pr, pr, pr))
-            return fn(model, opt_state, view, image, t, time_id, sched,
-                      kns, kbs, k_other, bg, gs_knn_index)
+            model, opt_state, metrics = fn(
+                model, opt_state, view, image, t, time_id, sched,
+                kns, kbs, k_other, bg, gs_knn_index)
+            return model, opt_state, metrics, new_key
 
         return train_step
 
@@ -1017,9 +1035,11 @@ class SKGSTrainer:
         cfg = self.cfg
         sp_fix_start = cfg.stages['sp_fix'][0]
         m = self.state.model
+        # interval check FIRST: int(active_sh_degree) is a blocking D2H
+        # tunnel round-trip — only pay it on the 1-in-1000 steps
         if (step > sp_fix_start
-                and int(m.active_sh_degree) < cfg.gauss.sh_degree
-                and (step - sp_fix_start) % 1000 == 0):
+                and (step - sp_fix_start) % 1000 == 0
+                and int(m.active_sh_degree) < cfg.gauss.sh_degree):
             self.state.model = m._replace(
                 active_sh_degree=m.active_sh_degree + 1)
 
@@ -1103,30 +1123,23 @@ class SKGSTrainer:
         if stage == 'sp':
             self.update_gs_knn(step)
 
-        st.key, k_step = jax.random.split(st.key)
-        if self.batch_views > 1 or self.mesh is not None:
-            idxs = np.asarray([self.sampler.sample(step)
-                               for _ in range(self.batch_views)])
-            view = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                *[self.scene.view(i) for i in idxs])
-            image = self.scene.images[idxs]
-            t = self.scene.times[idxs]
-            time_id = self.scene.time_ids[idxs]
+        batched = self.batch_views > 1 or self.mesh is not None
+        if batched:
+            idxs = [self.sampler.sample(step)
+                    for _ in range(self.batch_views)]
         else:
-            vidx = self.sampler.sample(step)
-            view = self.scene.view(vidx)
-            image = self.scene.images[vidx]
-            t = self.scene.times[vidx]
-            time_id = self.scene.time_ids[vidx]
+            idxs = [self.sampler.sample(step)]
 
         noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
+        # one small H2D per step: [s_rel, noise, *loss_weights, *sample idxs]
         sched = jnp.asarray(
             [float(self.stage_rel_step(step)), noise]
-            + [self.loss_w.w(name) for name in LW_NAMES], jnp.float32)
+            + [self.loss_w.w(name) for name in LW_NAMES]
+            + [float(i) for i in idxs], jnp.float32)
         fn = self._get_step_fn(stage)
-        st.model, st.opt_state, metrics = fn(
-            st.model, st.opt_state, view, image, t, time_id, sched, k_step,
-            self._bg, st.gs_knn_index, stage=stage)
+        st.model, st.opt_state, metrics, st.key = fn(
+            st.model, st.opt_state, self.scene, sched, st.key,
+            self._bg, st.gs_knn_index, stage=stage, batched=batched)
 
         # joint tree update on interval (update_joint, sk_gs.py:1554-1557)
         if stage == 'sp' and check_interval_v2(
