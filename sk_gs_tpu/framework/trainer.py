@@ -80,6 +80,43 @@ def weight_smooth_loss(w, knn_index):
     return jnp.mean(jnp.abs(w[:, None] - w[knn_index]))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _smooth_loss_sorted(w, knn_index, perm, sorted_ids):
+    return weight_smooth_loss(w, knn_index)
+
+
+def _smooth_sorted_fwd(w, knn_index, perm, sorted_ids):
+    diff = w[:, None] - w[knn_index]                       # [N, J, K]
+    return jnp.mean(jnp.abs(diff)), (diff, perm, sorted_ids)
+
+
+def _smooth_sorted_bwd(res, g):
+    diff, perm, sorted_ids = res
+    n, j, k = diff.shape
+    s = jnp.sign(diff) * (g / diff.size)                   # d|x| cotangent
+    # d/dw_i: + sum over i's J neighbors (plain reduce)
+    g_i = jnp.sum(s, axis=1)
+    # d/dw_j: - sum over all rows listing j. The gather transpose would be
+    # a ~2M-row scatter-add (~28 ms/step on v5e at [100k, 20, 5]); instead
+    # reorder the cotangent rows by the knn sort permutation (computed once
+    # per gs_knn update) and reduce contiguous sorted segments.
+    flat = s.reshape(n * j, k)[perm]
+    g_j = jax.ops.segment_sum(flat, sorted_ids, num_segments=n,
+                              indices_are_sorted=True)
+    return g_i - g_j, None, None, None
+
+
+_smooth_loss_sorted.defvjp(_smooth_sorted_fwd, _smooth_sorted_bwd)
+
+
+def smooth_loss_fast(w, knn_index, perm, sorted_ids):
+    """weight_smooth_loss with a sorted-segment backward. Falls back to
+    the plain gather/scatter autodiff when no permutation is available."""
+    if perm is None:
+        return weight_smooth_loss(w, knn_index)
+    return _smooth_loss_sorted(w, knn_index, perm, sorted_ids)
+
+
 # ------------------------------------------------------- multi-chip slicing
 
 # params leaves / model fields with a leading Gaussian-capacity axis: under
@@ -114,6 +151,11 @@ class TrainerState:
     step: int = 0
     key: jax.Array = None
     gs_knn_index: Optional[jnp.ndarray] = None
+    # sorted-segment backward for the smooth loss: argsort of the flat knn
+    # index + the sorted ids, refreshed with gs_knn_index (derived — NOT
+    # checkpointed; recomputed from gs_knn_index on restore)
+    gs_knn_perm: Optional[jnp.ndarray] = None
+    gs_knn_sorted: Optional[jnp.ndarray] = None
     best_psnr: float = -1.0
     skeleton_initialized: bool = False
     sp_initialized: bool = False
@@ -179,6 +221,7 @@ class SKGSTrainer:
             model=model, opt_state=self.opt_init(model.params),
             key=jax.random.PRNGKey(seed),
             gs_knn_index=jnp.zeros((model.capacity, gs_knn_num), jnp.int32))
+        self._refresh_knn_perm()
         self._step_fns: Dict[str, Callable] = {}
         self._eval_fns: Dict[str, Callable] = {}
         # optional callback(name) saving a named stage snapshot (the
@@ -486,7 +529,7 @@ class SKGSTrainer:
 
         def _core(stage: str, model: SKGSModel, opt_state, view: ViewParams,
                   image, t, time_id, sched, kns, kbs, k_other, bg,
-                  gs_knn_index):
+                  gs_knn_index, knn_perm=None, knn_sorted=None):
             """The full train step body. Single-chip: called directly under
             jit. Multi-chip: runs per-chip inside shard_map over the
             ('view', 'gs') mesh — samples sharded over 'view', per-Gaussian
@@ -601,8 +644,8 @@ class SKGSTrainer:
                         losses['smooth'] = lw['smooth'] * jnp.mean(
                             jnp.abs(w[:, None] - w_full[knn_index]))
                     else:
-                        losses['smooth'] = lw['smooth'] * weight_smooth_loss(
-                            w, knn_index)
+                        losses['smooth'] = lw['smooth'] * smooth_loss_fast(
+                            w, knn_index, knn_perm, knn_sorted)
                     # joint discovery losses
                     cost = skeleton.joint_cost_matrix(
                         params['joint_pos'],
@@ -649,13 +692,20 @@ class SKGSTrainer:
                         cfg, m.sp_cache[time_id])
                     sp_tr = jax.lax.stop_gradient(sp_tr)
                     points = jax.lax.stop_gradient(p['xyz'])
-                    sp_d_xyz = superpoints.warp_points(
-                        points, sp_tr, m.sp_weights, m.sp_knn,
-                        cfg.warp_method, m.p2sp)
-                    sp_rot_b = superpoints.blend_attr(
-                        sp_d_rot, m.sp_weights, m.sp_knn)
-                    sp_scale_b = superpoints.blend_attr(
-                        sp_d_scale, m.sp_weights, m.sp_knn)
+                    if cfg.warp_method == 'largest':
+                        sp_d_xyz = superpoints.warp_points(
+                            points, sp_tr, m.sp_weights, m.sp_knn,
+                            cfg.warp_method, m.p2sp)
+                        sp_rot_b = superpoints.blend_attr(
+                            sp_d_rot, m.sp_weights, m.sp_knn)
+                        sp_scale_b = superpoints.blend_attr(
+                            sp_d_scale, m.sp_weights, m.sp_knn)
+                    else:
+                        dw = superpoints.dense_lbs_rows(
+                            m.sp_weights, m.sp_knn, sp_tr.shape[0])
+                        sp_d_xyz, sp_rot_b, sp_scale_b = \
+                            superpoints.warp_blend_dense(
+                                points, sp_tr, dw, sp_d_rot, sp_d_scale)
                     losses['rgb'] = jax.lax.stop_gradient(losses['rgb'])
                     losses['ssim'] = jax.lax.stop_gradient(losses['ssim'])
                     losses['cmp_t'] = lw['cmp_t'] * jnp.mean(
@@ -844,8 +894,8 @@ class SKGSTrainer:
 
         @partial(jax.jit, static_argnames=('stage', 'batched'))
         def train_step(model: SKGSModel, opt_state, scene: Scene,
-                       sched, key, bg, gs_knn_index, stage: str,
-                       batched: bool):
+                       sched, key, bg, gs_knn_index, knn_perm, knn_sorted,
+                       stage: str, batched: bool):
             # ONE dispatch per step: sample indices ride packed as f32 at
             # the tail of the sched vector (exact for ints < 2^24), the RNG
             # split and all scene gathers happen in-graph (each host-side
@@ -874,7 +924,8 @@ class SKGSTrainer:
             if not par:
                 model, opt_state, metrics = _core(
                     stage, model, opt_state, view, image, t, time_id,
-                    sched, kns, kbs, k_other, bg, gs_knn_index)
+                    sched, kns, kbs, k_other, bg, gs_knn_index,
+                    knn_perm, knn_sorted)
                 return model, opt_state, metrics, new_key
             if not batched:
                 raise ValueError("multi-chip training requires stacked "
@@ -1053,6 +1104,13 @@ class SKGSTrainer:
         pts_m = pts + big[:, None]
         _, idx = knn_op(pts_m, pts_m, self.gs_knn_num + 1)
         self.state.gs_knn_index = idx[:, 1:]
+        self._refresh_knn_perm()
+
+    def _refresh_knn_perm(self):
+        flat = self.state.gs_knn_index.reshape(-1)
+        perm = jnp.argsort(flat).astype(jnp.int32)
+        self.state.gs_knn_perm = perm
+        self.state.gs_knn_sorted = flat[perm]
 
     # ------------------------------------------------------------ checkpoint
 
@@ -1106,6 +1164,7 @@ class SKGSTrainer:
             st.key = jnp.asarray(flags['key'])
         if 'gs_knn_index' in flags:
             st.gs_knn_index = jnp.asarray(flags['gs_knn_index'])
+            self._refresh_knn_perm()
         if stage in ('sp', 'sp_fix') and not np.any(
                 np.asarray(st.gs_knn_index)):
             self.update_gs_knn(1)  # legacy ckpt: rebuild the smooth-loss KNN
@@ -1139,7 +1198,8 @@ class SKGSTrainer:
         fn = self._get_step_fn(stage)
         st.model, st.opt_state, metrics, st.key = fn(
             st.model, st.opt_state, self.scene, sched, st.key,
-            self._bg, st.gs_knn_index, stage=stage, batched=batched)
+            self._bg, st.gs_knn_index, st.gs_knn_perm, st.gs_knn_sorted,
+            stage=stage, batched=batched)
 
         # joint tree update on interval (update_joint, sk_gs.py:1554-1557)
         if stage == 'sp' and check_interval_v2(

@@ -292,11 +292,18 @@ def sp_stage(cfg: SKGSConfig, params, sp_alive, points, t, key=None,
     spT = superpoints.sp_transforms(d_xyz_sp, d_rot_sp, sp_points_, cfg.warp_method)
     p2sp = jnp.take_along_axis(
         indices, jnp.argmax(weights, axis=-1, keepdims=True), axis=-1)[:, 0]
-    d_points = superpoints.warp_points(points, spT, weights, indices,
-                                       cfg.warp_method, p2sp)
     rot_attr = g_rot if g_rot is not None else d_rot_sp
-    d_rotation = superpoints.blend_attr(rot_attr, weights, indices)
-    d_scaling = superpoints.blend_attr(d_scale_sp, weights, indices)
+    if cfg.warp_method == 'largest':
+        d_points = superpoints.warp_points(points, spT, weights, indices,
+                                           cfg.warp_method, p2sp)
+        d_rotation = superpoints.blend_attr(rot_attr, weights, indices)
+        d_scaling = superpoints.blend_attr(d_scale_sp, weights, indices)
+    else:
+        # dense-rows MXU path: one [N, M] @ [M, 19] matmul replaces the
+        # row-aligned gathers + their scatter-add transposes
+        dense_w = superpoints.dense_lbs_rows(weights, indices, spT.shape[0])
+        d_points, d_rotation, d_scaling = superpoints.warp_blend_dense(
+            points, spT, dense_w, rot_attr, d_scale_sp)
     aux = {'spT': spT, 'knn_w': weights, 'knn_i': indices,
            'sp_rot': rot_attr, 'sp_scale': d_scale_sp, 'p2sp': p2sp,
            'cache_row': sp_cache_row(cfg, spT, g_rot, d_scale_sp)}
@@ -373,9 +380,9 @@ def sk_stage(cfg: SKGSConfig, model: SKGSModel, points, t, time_id=None,
         points, joints, model.sp_alive, cfg.num_knn, cfg.LBS_method,
         sp_W=params.get('sp_W'), sp_radius_raw=params.get('sp_radius'),
         sp_weight_raw=params.get('sp_weight'))
-    d_xyz = superpoints.warp_points(points, sk_T, weights, indices, 'LBS')
-    d_rotation = superpoints.blend_attr(d_rot, weights, indices)
-    d_scaling = superpoints.blend_attr(d_scale, weights, indices)
+    dense_w = superpoints.dense_lbs_rows(weights, indices, sk_T.shape[0])
+    d_xyz, d_rotation, d_scaling = superpoints.warp_blend_dense(
+        points, sk_T, dense_w, d_rot, d_scale)
     aux = {'skT': sk_T, 'knn_w': weights, 'knn_i': indices, 'sk_rot': d_rot,
            'sk_scale': d_scale, 'g_tr': g_tr, 'd_xyz': d_xyz,
            'd_rot': d_rotation, 'd_scale': d_scaling, 'cache_row': cache_row}

@@ -281,6 +281,12 @@ def distill_sk_deform(cfg: SKGSConfig, model: SKGSModel, key,
     T = model.sp_cache.shape[0]
     points_c = jax.lax.stop_gradient(model.params['xyz'])
     sp_w, sp_k = model.sp_weights, model.sp_knn
+    # frozen weights: hoist the dense LBS rows out of the distill scan (the
+    # sparse gather path costs a [100k, 5] gather per iteration x 2000)
+    dense_sp_w = None
+    if cfg.warp_method != 'largest':
+        dense_sp_w = superpoints.dense_lbs_rows(
+            sp_w, sp_k, cfg.num_superpoints)
 
     train_names = ['sk_deform', 'joints', 'global_tr']
     for n in ('sp_radius', 'sp_weight', 'sp_W'):
@@ -295,8 +301,14 @@ def distill_sk_deform(cfg: SKGSConfig, model: SKGSModel, key,
         t = model.train_times[tid]
         sp_tr, sp_d_rot, sp_d_scale = split_sp_cache(cfg, model.sp_cache[tid])
         # target points under cached sp motion with frozen weights
-        points_t1 = points_c + superpoints.warp_points(
-            points_c, sp_tr, sp_w, sp_k, cfg.warp_method, model.p2sp)
+        if dense_sp_w is None:
+            points_t1 = points_c + superpoints.warp_points(
+                points_c, sp_tr, sp_w, sp_k, cfg.warp_method, model.p2sp)
+        else:
+            empty = jnp.zeros((cfg.num_superpoints, 0), points_c.dtype)
+            d1, _, _ = superpoints.warp_blend_dense(
+                points_c, sp_tr, dense_sp_w, empty, empty)
+            points_t1 = points_c + d1
         out = sk_stage(cfg, mm, points_c, t, time_id=tid)
         points_t2 = points_c + out.d_xyz
         sk_tr = out.aux['skT']

@@ -87,7 +87,7 @@ def calc_lbs_weight(points: jnp.ndarray, sp_points: jnp.ndarray,
         w = w + 1e-7
         w = w / jnp.sum(w, axis=-1, keepdims=True)
     elif method == 'W':
-        w = jnp.take_along_axis(sp_W, indices, axis=1)
+        w = select_rows(sp_W, indices)   # gather/scatter-free take_along
         w = jax.nn.softmax(w, axis=-1)
     else:  # 'dist'
         w = jax.nn.softmax(-nn_dist / temperature, axis=-1)
@@ -121,6 +121,68 @@ def blend_attr(attr: jnp.ndarray, weights: jnp.ndarray,
                indices: jnp.ndarray) -> jnp.ndarray:
     """Weighted blend of per-superpoint attributes (rot/scale deltas)."""
     return jnp.sum(attr[indices] * weights[..., None], axis=1)
+
+
+# --------------------------------------------------------------- dense LBS
+# TPU-native formulation of the K-sparse LBS blend. Row-aligned gathers
+# (attr[indices], take_along_axis) and their scatter-add transposes run at
+# ~1.5 ns/element on the VPU's scalar path — ~40 ms/step at the production
+# shape ([100k, 5] against M=512). Expanding the K-sparse weights to a
+# dense [N, M] row-stochastic matrix turns every blend (and every blend
+# BACKWARD) into one MXU matmul against an [M, c] table: the per-step cost
+# collapses to ~2 GFLOP of systolic work + a few [N, M] vector passes.
+# Mathematically identical to the sparse path (the dense rows are exact:
+# K distinct one-hot columns per row); floating-point sums differ only in
+# association order.
+
+def dense_lbs_rows(weights: jnp.ndarray, indices: jnp.ndarray,
+                   m: int) -> jnp.ndarray:
+    """Expand K-sparse LBS weights to dense rows [N, M] (no scatter:
+    K compare-select passes, whose autodiff transpose is a row-aligned
+    masked reduce — also scatter-free)."""
+    col = jnp.arange(m, dtype=indices.dtype)[None, :]
+    dense = jnp.zeros((weights.shape[0], m), weights.dtype)
+    for k in range(weights.shape[1]):
+        dense = dense + jnp.where(col == indices[:, k:k + 1],
+                                  weights[:, k:k + 1], 0.0)
+    return dense
+
+
+def warp_blend_dense(points: jnp.ndarray, spT: jnp.ndarray,
+                     dense_w: jnp.ndarray, rot_attr: jnp.ndarray,
+                     scale_attr: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(d_xyz, d_rotation, d_scaling) for the LBS warp + attribute blends,
+    all through ONE [N, M] @ [M, 12+4+3] matmul.
+
+    Blended SE3 action is linear in the matrix form:
+    sum_k w_k (R_k p + t_k) = (sum_k w_k R_k) p + sum_k w_k t_k,
+    so rotations ride as flattened 3x3 rows next to translations and the
+    rot/scale attribute tables."""
+    R = quat.to_matrix(spT[..., 3:7])                         # [M, 3, 3]
+    table = jnp.concatenate([
+        R.reshape(R.shape[0], 9), spT[..., :3], rot_attr, scale_attr,
+    ], axis=-1)                                               # [M, 12+4+3]
+    b = jnp.matmul(dense_w, table,
+                   precision=jax.lax.Precision.HIGHEST)       # [N, 19]
+    Rb = b[:, :9].reshape(-1, 3, 3)
+    d_xyz = jnp.einsum('nij,nj->ni', Rb, points,
+                       precision=jax.lax.Precision.HIGHEST) + b[:, 9:12] \
+        - points
+    d_rotation = b[:, 12:12 + rot_attr.shape[-1]]
+    d_scaling = b[:, 12 + rot_attr.shape[-1]:]
+    return d_xyz, d_rotation, d_scaling
+
+
+def select_rows(table: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(table, indices, axis=1) without the row-aligned
+    gather (and without its scatter-add transpose): K compare-select
+    reduces over the M axis. Exact — each output picks one element."""
+    col = jnp.arange(table.shape[1], dtype=indices.dtype)[None, :]
+    outs = [jnp.sum(jnp.where(col == indices[:, k:k + 1], table, 0.0),
+                    axis=1)
+            for k in range(indices.shape[1])]
+    return jnp.stack(outs, axis=1)
 
 
 def get_superpoint_features(value: jnp.ndarray, neighbor: jnp.ndarray,
