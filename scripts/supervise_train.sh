@@ -11,7 +11,8 @@ MAX_RESTARTS="${3:-40}"
 LOG="${SUPERVISE_LOG:-/tmp/supervise_train.log}"
 STALL_S="${STALL_S:-420}"
 # first step after a resume can sit in XLA compile for many minutes
-COMPILE_GRACE_S="${COMPILE_GRACE_S:-2400}"
+# (remote-compile through the tunnel has been observed north of 40 min)
+COMPILE_GRACE_S="${COMPILE_GRACE_S:-3600}"
 
 for i in $(seq 0 "$MAX_RESTARTS"); do
     CKPT=$(ls -v "$OUT"/checkpoints/checkpoint_*.npz 2>/dev/null | tail -1)
