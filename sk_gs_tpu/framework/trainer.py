@@ -497,7 +497,8 @@ class SKGSTrainer:
                     nodes_seq, nn_idx, w_a)
             return losses
 
-        def cnet_loss(losses, params, m, t, points_out, lw, stage):
+        def cnet_loss(losses, params, m, t, points_out, lw, stage,
+                      aux_main=None):
             """Canonical-net consistency (loss_canonical_net,
             sk_gs.py:1501-1515)."""
             tc = m.train_times[cfg.canonical_time_id]
@@ -509,8 +510,14 @@ class SKGSTrainer:
                                        use_canonical=True).d_xyz
                 points_t = d_t + points_c
             else:
+                # reuse the main pass's (time-independent) LBS weights on
+                # the same points — identical values and gradients, one
+                # fewer [100k, 512] KNN per step
+                fw = aux_main['knn_w'] if aux_main else None
+                fk = aux_main['knn_i'] if aux_main else None
                 out_c = sk_gs.sp_stage(cfg, params, m.sp_alive,
-                                       params['xyz'], tc)
+                                       params['xyz'], tc,
+                                       frozen_weights=fw, frozen_knn=fk)
                 points_c = jax.lax.stop_gradient(out_c.d_xyz) + params['xyz']
                 from ..ops import se3 as se3_ops
                 sp_points_c = jax.lax.stop_gradient(
@@ -745,8 +752,11 @@ class SKGSTrainer:
                     losses = motion_reg_losses(losses, params, m_full, t, lw,
                                                k_other)
                 if with_cnet:
+                    aux_main = aux if family == 'sp' and 'knn_w' in aux \
+                        else None
                     losses = cnet_loss(losses, p, m, t,
-                                       p['xyz'] + out_def.d_xyz, lw, stage)
+                                       p['xyz'] + out_def.d_xyz, lw, stage,
+                                       aux_main=aux_main)
 
                 if par:
                     # uniform 1/n_gs: slice-mean losses sum to the global

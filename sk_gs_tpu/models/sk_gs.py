@@ -287,7 +287,14 @@ def sp_stage(cfg: SKGSConfig, params, sp_alive, points, t, key=None,
     else:
         d_xyz_sp, d_rot_sp, g_rot, d_scale_sp = sp_net_outputs(
             cfg, params['sp_deform'], sp_points_, t)
-        weights, indices = lbs_weights(cfg, params, sp_alive, points)
+        if frozen_weights is not None:
+            # LBS weights depend only on (points, params), not on t: callers
+            # evaluating the SAME points at another time (c_net canonical
+            # pass) reuse the main pass's weights — identical values AND
+            # gradients (same function of params)
+            weights, indices = frozen_weights, frozen_knn
+        else:
+            weights, indices = lbs_weights(cfg, params, sp_alive, points)
 
     spT = superpoints.sp_transforms(d_xyz_sp, d_rot_sp, sp_points_, cfg.warp_method)
     p2sp = jnp.take_along_axis(

@@ -93,6 +93,11 @@ IMPL = {
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
     #                        the DMA pipeline but trivializes the chunk math;
     #                        'nodma' keeps the math on stale buffer contents
+    'grad_reduce': 'scatter',  # per-pair grad -> per-gaussian reduction:
+    #                        'scatter' = XLA scatter-add segment_sum (14.6 ms
+    #                        at [2^20, 9] -> [100k, 9] on v5e); 'sorted' =
+    #                        payload-sort by rank id + sorted segment_sum
+    #                        (A/B on hardware before flipping the default)
 }
 
 # power <= 0 in exact arithmetic for any PSD conic (power = -q, q >= 0); the
@@ -913,8 +918,20 @@ def _blend_bwd(cfg, residuals, cotangents):
     # scatter-add per-entry grads back to (N+1)-padded rows (the CUDA
     # atomicAdd equivalent, conflict-free by construction); only the real
     # feature columns — the 128-lane padding carries no gradient
-    gsum = jax.ops.segment_sum(gfeat[:, :6 + ch], sort_gauss,
-                               num_segments=n_rows)
+    if IMPL['grad_reduce'] == 'sorted':
+        # bring entries into ascending-rank order first: a sorted
+        # segment_sum reduces contiguous runs instead of random-index
+        # read-modify-writes (sum order differs from 'scatter' only in
+        # f32 association)
+        kk = sort_gauss.shape[0]
+        ids_sorted, perm = jax.lax.sort(
+            (sort_gauss, jnp.arange(kk, dtype=jnp.int32)), num_keys=1)
+        gsum = jax.ops.segment_sum(gfeat[perm][:, :6 + ch], ids_sorted,
+                                   num_segments=n_rows,
+                                   indices_are_sorted=True)
+    else:
+        gsum = jax.ops.segment_sum(gfeat[:, :6 + ch], sort_gauss,
+                                   num_segments=n_rows)
     g_xys = gsum[:, 0:2]
     g_conic = gsum[:, 2:5]
     g_opa = gsum[:, 5]
