@@ -158,8 +158,13 @@ def warp_blend_dense(points: jnp.ndarray, spT: jnp.ndarray,
     Blended SE3 action is linear in the matrix form:
     sum_k w_k (R_k p + t_k) = (sum_k w_k R_k) p + sum_k w_k t_k,
     so rotations ride as flattened 3x3 rows next to translations and the
-    rot/scale attribute tables."""
-    R = quat.to_matrix(spT[..., 3:7])                         # [M, 3, 3]
+    rot/scale attribute tables.
+
+    pre_normalize=False: the raw matrix formula I + 2w[u]x + 2[u]x^2 equals
+    quat.apply's linear map for ARBITRARY (even off-unit) quaternions —
+    exact value and Jacobian parity with the sparse path (global_tr is a
+    raw trained param whose quat can drift off-unit)."""
+    R = quat.to_matrix(spT[..., 3:7], pre_normalize=False)    # [M, 3, 3]
     table = jnp.concatenate([
         R.reshape(R.shape[0], 9), spT[..., :3], rot_attr, scale_attr,
     ], axis=-1)                                               # [M, 12+4+3]
