@@ -34,6 +34,8 @@ def main():
     ap.add_argument('--colsum', default=None)
     ap.add_argument('--moments', default=None)
     ap.add_argument('--matprec', default=None)
+    ap.add_argument('--grad_reduce', default=None,
+                    help="'scatter' | 'sorted' pair-grad reduction A/B")
     ap.add_argument('--sweep', action='store_true',
                     help='run the predefined knob sweep in one process')
     args = ap.parse_args()
@@ -74,7 +76,8 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
     tk.IMPL['cumsum'] = cumsum
     tk.IMPL['gate_dma'] = bool(gate)
     tk.IMPL['diag'] = diag
-    for knob in ('schedule', 'qform', 'colsum', 'moments', 'matprec'):
+    for knob in ('schedule', 'qform', 'colsum', 'moments', 'matprec',
+                 'grad_reduce'):
         val = getattr(args, knob, None)
         if val is not None:
             tk.IMPL[knob] = val
