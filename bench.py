@@ -15,13 +15,63 @@ tunnel wall time per render).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Check whether the default jax backend initializes, in a SUBPROCESS.
+
+    The axon TPU tunnel has been observed to HANG backend init for ~25 min
+    before failing UNAVAILABLE; an in-process jax.devices() call can't be
+    interrupted reliably (the hang is inside a C extension), so we probe in a
+    child with a hard timeout. Returns (ok, reason)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; d = jax.devices(); print(d[0].platform)'],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f'backend init timed out after {timeout_s:.0f}s'
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return False, (tail[-1][:200] if tail else f'probe rc={r.returncode}')
+    return True, r.stdout.strip()
+
+
 def main():
+    # An outage must produce a parseable JSON line, not a traceback
+    # (round-2 lesson: BENCH_r02.json was rc=1 because the worker was down).
+    probe_timeout = float(os.environ.get('BENCH_TPU_PROBE_S', '900'))
+    ok, reason = probe_backend(probe_timeout)
+    if not ok:
+        print(json.dumps({
+            "metric": "render_fwd_bwd_throughput",
+            "value": None,
+            "unit": "Mpix/s/chip",
+            "vs_baseline": None,
+            "skipped": True,
+            "reason": f"TPU backend unavailable: {reason}",
+        }))
+        return
+    try:
+        run_bench()
+    except Exception as e:  # worker can drop mid-run; keep the artifact parseable
+        print(json.dumps({
+            "metric": "render_fwd_bwd_throughput",
+            "value": None,
+            "unit": "Mpix/s/chip",
+            "vs_baseline": None,
+            "skipped": True,
+            "reason": f"{type(e).__name__}: {str(e)[:200]}",
+        }))
+
+
+def run_bench():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
