@@ -64,7 +64,11 @@ class TestParallelParity:
         tb = _build(synthetic64, mesh, batch_views=2)
 
         families_checked = set()
-        for step in range(1, 51):
+        # 1..56 crosses init_fix(5) init(15) sp_fix(5) sp(20) sk_init(5)
+        # then 6 steps of sk — including the sp->sk transition at the
+        # boundary (joint discovery + kinematic distill) and the skeleton
+        # FK step family under the mesh.
+        for step in range(1, 57):
             _sync(tb, ta)
             ma = ta.train_step(step)
             mb = tb.train_step(step)
@@ -94,5 +98,5 @@ class TestParallelParity:
             families_checked.add(stage)
             # keep tb's post-step state as ground truth for the next step
             # (ta re-syncs nothing: both advanced from identical state)
-        assert {'init_fix', 'init', 'sp_fix', 'sp', 'sk_init'} <= \
+        assert {'init_fix', 'init', 'sp_fix', 'sp', 'sk_init', 'sk'} <= \
             families_checked
