@@ -4,9 +4,12 @@ Parity target: ``ImageMetric`` (/root/reference/my_ext/metrics/image_metric.py:1
 PSNR, SSIM, MS-SSIM, LPIPS(alex/vgg) aggregated over the eval split with a
 best-metric tracker (MetricManager, my_ext/metrics/build.py:32).
 
-PSNR/SSIM/MS-SSIM are pure JAX (device-side); LPIPS falls back to the
-torch 'lpips' package when importable (it is optional in this image) and is
-reported as NaN otherwise.
+PSNR/SSIM/MS-SSIM are pure JAX (device-side). LPIPS is the pure-JAX
+implementation in ``lpips_jax`` (AlexNet/VGG16 feature stacks + lin
+calibration, reference math from my_ext/metrics/lpipsPyTorch): calibrated
+when ``weights/lpips_{net}.npz`` is vendored, else the torch 'lpips'
+package when importable, else a documented deterministic untrained
+fallback — always finite. ``lpips_mode(net)`` reports which path is live.
 """
 from __future__ import annotations
 
@@ -79,20 +82,39 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarra
 _lpips_models: Dict[str, object] = {}
 
 
-def lpips(img1: np.ndarray, img2: np.ndarray, net: str = 'alex') -> float:
-    """LPIPS via the torch package if available, else NaN."""
+def lpips_mode(net: str = 'alex') -> str:
+    """Which LPIPS path is live: 'calibrated-npz' | 'torch-lpips' |
+    'untrained-fallback'."""
+    from .lpips_jax import lpips_mode as jax_mode
+    mode = jax_mode(net)
+    if mode == 'calibrated-npz':
+        return mode
     try:
-        import torch
-        import lpips as lpips_pkg
-        if net not in _lpips_models:
-            _lpips_models[net] = lpips_pkg.LPIPS(net=net, verbose=False)
-        _lpips_model = _lpips_models[net]
-        with torch.no_grad():
-            a = torch.from_numpy(np.asarray(img1, np.float32)).permute(2, 0, 1)[None] * 2 - 1
-            b = torch.from_numpy(np.asarray(img2, np.float32)).permute(2, 0, 1)[None] * 2 - 1
-            return float(_lpips_model(a, b))
+        import lpips as _lpips_pkg  # noqa: F401
+        return 'torch-lpips'
     except Exception:
-        return float('nan')
+        return mode
+
+
+def lpips(img1: np.ndarray, img2: np.ndarray, net: str = 'alex') -> float:
+    """LPIPS. Priority: vendored calibrated npz (pure JAX) > torch 'lpips'
+    package > deterministic untrained-fallback (pure JAX, finite)."""
+    from . import lpips_jax
+    mode = lpips_mode(net)
+    if mode == 'torch-lpips':
+        try:
+            import torch
+            import lpips as lpips_pkg
+            if net not in _lpips_models:
+                _lpips_models[net] = lpips_pkg.LPIPS(net=net, verbose=False)
+            model = _lpips_models[net]
+            with torch.no_grad():
+                a = torch.from_numpy(np.asarray(img1, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+                b = torch.from_numpy(np.asarray(img2, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+                return float(model(a, b))
+        except Exception:
+            pass  # e.g. package importable but weights not downloadable
+    return lpips_jax.lpips(img1, img2, net=net)
 
 
 class MetricManager:

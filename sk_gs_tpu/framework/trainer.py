@@ -1258,10 +1258,14 @@ class SKGSTrainer:
             for k, v in vals.items():
                 sums[k] = sums.get(k, 0.0) + v
         out = {k: v / max(scene.num_views, 1) for k, v in sums.items()}
-        # LPIPS needs the optional torch `lpips` package + downloadable
-        # weights; when unavailable it returns NaN — drop those columns
-        # rather than writing NaN into results.json
-        return {k: v for k, v in out.items() if np.isfinite(v)}
+        out = {k: v for k, v in out.items() if np.isfinite(v)}
+        if full_metrics:
+            # label which LPIPS weights produced the columns: values from
+            # the 'untrained-fallback' path are deterministic and finite
+            # but NOT comparable to published LPIPS numbers (lpips_jax.py)
+            from .metrics import lpips_mode
+            out['LPIPS weights'] = lpips_mode('alex')
+        return out
 
     def _render_eval_fn(self, stage: str):
         """Jitted eval renderer per stage (eager re-trace per view would be
