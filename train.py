@@ -182,6 +182,11 @@ def build_model_cfg(cfg, meta, image_size):
         sp_merge_threshold=float(m.get('sp_merge_threshold', 5e-4)),
         guided_step_start=int(m.get('guided_step_start', 40000)),
         test_time_interpolate=bool(m.get('test_time_interpolate', False)),
+        # lr knobs (get_params parity, sk_gs.py:360-362,582-616)
+        lr_deform_scale=float(m.get('lr_deform_scale', 1.0)),
+        lr_feature_scale=float(m.get('lr_feature_scale', 2.5)),
+        lr_deform_max_steps=int(m.get('lr_deform_max_steps', 40000)),
+        lr_joints=float(m.get('lr_joints', 0.1)),
         **sk_ac,
     )
     w, h = image_size
