@@ -74,6 +74,21 @@ def render(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
     return result
 
 
+def render_topk(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
+                k: int = 8, active_sh_degree: Optional[jnp.ndarray] = None):
+    """Per-pixel top-k contributing Gaussian ids + blend weights — the GUI
+    picking path (parity: ``GaussianRasterizer.topk_weights``,
+    /root/reference/networks/renderer/gaussian_render.py:343-347, consumed
+    by click-picking in gui.py:333). Returns (indices [H, W, k] int32 into
+    the input Gaussians, -1 when fewer than k contribute; weights [H, W, k]).
+    """
+    pre = preprocess(g, view, cfg, active_sh_degree)
+    binned = build_tile_lists(pre, cfg)
+    pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+    return blend_xla.topk_weights(binned, pad1(pre.means2d), pad1(pre.conic),
+                                  pad1(g.opacities.reshape(-1)), cfg, k=k)
+
+
 def composite_background(images: jnp.ndarray, opacity: jnp.ndarray,
                          background: Optional[jnp.ndarray]) -> jnp.ndarray:
     """images + (1 - opacity) * bg — the reference's python-side composite

@@ -63,6 +63,7 @@ select,button{margin-top:4px}
 </div></div>
 <script>
 let info=null, theta=0, phi=0.3, radius=4, pose={}, busy=false, dirty=true;
+let sel=-1;
 const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
 const $=id=>document.getElementById(id);
 async function init(){
@@ -86,7 +87,8 @@ function poseCSV(){
 async function draw(){
   if(busy||!dirty)return; busy=true; dirty=false;
   const q=`theta=${theta}&phi=${phi}&radius=${radius}`+
-    `&t=${$('time').value}&mode=${$('mode').value}&pose=${poseCSV()}`;
+    `&t=${$('time').value}&mode=${$('mode').value}&pose=${poseCSV()}`+
+    `&sel=${sel}`;
   const img=new Image();
   img.onload=async()=>{
     ctx.drawImage(img,0,0,cv.width,cv.height);
@@ -107,11 +109,32 @@ async function draw(){
   img.src='render?'+q;
 }
 function loop(){draw();requestAnimationFrame(loop);}
-let drag=null;
-cv.onmousedown=e=>{drag=[e.clientX,e.clientY];};
-window.onmouseup=()=>{drag=null;};
+let drag=null, moved=0, downXY=null;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY];moved=0;
+  downXY=[e.offsetX,e.offsetY];};
+window.onmouseup=async e=>{
+  const wasClick=drag&&moved<4&&downXY;
+  drag=null;
+  if(!wasClick)return;
+  // click (not drag): pick the dominant superpoint under the pixel
+  const x=downXY[0]*info.width/cv.width, y=downXY[1]*info.height/cv.height;
+  const q=`theta=${theta}&phi=${phi}&radius=${radius}`+
+    `&t=${$('time').value}&pose=${poseCSV()}&x=${x}&y=${y}`;
+  const p=await (await fetch('pick?'+q)).json();
+  sel=p.superpoint;
+  if(sel>=0){
+    $('joint').value=sel;
+    const d=pose[sel]||[0,0,0];
+    $('rx').value=d[0];$('ry').value=d[1];$('rz').value=d[2];
+    $('status').textContent=
+      `picked superpoint/joint ${sel} (weight ${p.weight})`;
+  }else{
+    $('status').textContent='picked background';
+  }
+  dirty=true;};
 window.onmousemove=e=>{
   if(!drag)return;
+  moved+=Math.abs(e.clientX-drag[0])+Math.abs(e.clientY-drag[1]);
   theta+=(e.clientX-drag[0])*0.01; phi+=(e.clientY-drag[1])*0.01;
   phi=Math.max(-1.5,Math.min(1.5,phi));
   drag=[e.clientX,e.clientY]; dirty=true;};
@@ -155,7 +178,8 @@ class ViewerState:
         from sk_gs_tpu.models.gaussian_splatting import gaussian_inputs
         from sk_gs_tpu.models.sk_gs import forward_deltas
         from sk_gs_tpu.ops import se3
-        from sk_gs_tpu.render import composite_background, render
+        from sk_gs_tpu.render import (composite_background, render,
+                                      render_topk)
 
         self.lock = threading.Lock()
         self.scene, self.meta = scene, meta
@@ -183,7 +207,8 @@ class ViewerState:
         self.make_view = make_view
 
         @jax.jit
-        def _render_rgb(model, view, t, sk_r_delta):
+        def _render_rgb(model, view, t, sk_r_delta, sel):
+            del sel  # highlight only applies to superpoint mode
             out_def = forward_deltas(skcfg, model, t, stage,
                                      sk_r_delta=sk_r_delta
                                      if stage in ('sk', 'sk_fix') else None,
@@ -199,7 +224,7 @@ class ViewerState:
             return img, out['opacity']
 
         @jax.jit
-        def _render_sp(model, view, t, sk_r_delta):
+        def _render_sp(model, view, t, sk_r_delta, sel):
             out_def = forward_deltas(skcfg, model, t, stage,
                                      sk_r_delta=sk_r_delta
                                      if stage in ('sk', 'sk_fix') else None,
@@ -208,10 +233,26 @@ class ViewerState:
                                 d_xyz=out_def.d_xyz,
                                 d_rotation=out_def.d_rotation,
                                 d_scaling=out_def.d_scaling)
-            g = g._replace(colors=self.palette[model.p2sp % self.m], sh=None)
+            # picked superpoint (sel >= 0) renders white (gui.py highlight)
+            sp = model.p2sp % self.m
+            cols = jnp.where((sp == sel)[:, None],
+                             jnp.ones(3), self.palette[sp])
+            g = g._replace(colors=cols, sh=None)
             out = render(g, view, rcfg)
             return composite_background(out['images'], out['opacity'],
                                         jnp.ones(3) * 0.1), out['opacity']
+
+        @jax.jit
+        def _topk(model, view, t, sk_r_delta):
+            out_def = forward_deltas(skcfg, model, t, stage,
+                                     sk_r_delta=sk_r_delta
+                                     if stage in ('sk', 'sk_fix') else None,
+                                     training=False)
+            g = gaussian_inputs(model.gauss_view(), skcfg.gauss,
+                                d_xyz=out_def.d_xyz,
+                                d_rotation=out_def.d_rotation,
+                                d_scaling=out_def.d_scaling)
+            return render_topk(g, view, rcfg, k=8)
 
         @jax.jit
         def _skeleton_2d(model, view, t, sk_r_delta):
@@ -231,16 +272,18 @@ class ViewerState:
         self._render = {'rgb': _render_rgb, 'superpoints': _render_sp,
                         'opacity': _render_rgb}
         self._skeleton_2d = _skeleton_2d
+        self._topk = _topk
         self._jnp = jnp
 
-    def render_png(self, theta, phi, radius, t, mode, pose) -> bytes:
+    def render_png(self, theta, phi, radius, t, mode, pose,
+                   sel: int = -1) -> bytes:
         from PIL import Image
         jnp = self._jnp
         with self.lock:
             view = self.make_view(theta, phi, radius)
             img, opac = self._render[mode](
                 self.model, view, jnp.asarray(t, jnp.float32),
-                jnp.asarray(pose))
+                jnp.asarray(pose), jnp.asarray(sel, jnp.int32))
             if mode == 'opacity':
                 arr = np.asarray(opac)
                 arr = np.repeat(arr[..., None], 3, -1)
@@ -250,6 +293,24 @@ class ViewerState:
         Image.fromarray(
             (np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(buf, 'PNG')
         return buf.getvalue()
+
+    def pick_json(self, theta, phi, radius, t, pose, px: int, py: int) -> bytes:
+        """Click-to-select: dominant superpoint under pixel (px, py) via the
+        per-pixel top-k blend weights (gui.py:333 + gaussian_render.py:343)."""
+        jnp = self._jnp
+        px = min(max(px, 0), self.w - 1)
+        py = min(max(py, 0), self.h - 1)
+        with self.lock:
+            view = self.make_view(theta, phi, radius)
+            idx, wts = self._topk(self.model, view,
+                                  jnp.asarray(t, jnp.float32),
+                                  jnp.asarray(pose))
+            idx_px = np.asarray(idx[py, px])
+            w_px = np.asarray(wts[py, px])
+            p2sp = np.asarray(self.model.p2sp) % self.m
+        sp, weight = dominant_superpoint(idx_px, w_px, p2sp, self.m)
+        return json.dumps({'superpoint': sp, 'weight': round(weight, 4),
+                           'x': px, 'y': py}).encode()
 
     def skeleton_json(self, theta, phi, radius, t, pose) -> bytes:
         jnp = self._jnp
@@ -279,6 +340,22 @@ class ViewerState:
             'width': self.w, 'height': self.h, 'stage': self.stage,
             'radius': self.radius0,
             'num_frames': int(self.meta.num_frames)}).encode()
+
+
+def dominant_superpoint(idx_px: np.ndarray, w_px: np.ndarray,
+                        p2sp: np.ndarray, m: int):
+    """Aggregate per-pixel top-k Gaussian blend weights by superpoint and
+    return (winning superpoint id, its summed weight); (-1, 0.0) when no
+    valid contributor (background pixel). idx entries < 0 or >= len(p2sp)
+    are padding from the top-k merge."""
+    valid = (idx_px >= 0) & (idx_px < len(p2sp))
+    if not valid.any():
+        return -1, 0.0
+    sp_ids = p2sp[idx_px[valid]]
+    acc = np.zeros(m, np.float64)
+    np.add.at(acc, sp_ids, w_px[valid])
+    sp = int(acc.argmax())
+    return sp, float(acc[sp])
 
 
 def parse_pose(s: str, m: int) -> np.ndarray:
@@ -313,7 +390,7 @@ def make_handler(state: ViewerState):
                     self._send(200, 'text/html', PAGE.encode())
                 elif u.path == '/info':
                     self._send(200, 'application/json', state.info_json())
-                elif u.path in ('/render', '/skeleton'):
+                elif u.path in ('/render', '/skeleton', '/pick'):
                     try:
                         theta = float(q.get('theta', 0))
                         phi = float(q.get('phi', 0.3))
@@ -330,8 +407,14 @@ def make_handler(state: ViewerState):
                             self._send(400, 'text/plain',
                                        f'bad mode {mode!r}'.encode())
                             return
+                        sel = int(q.get('sel', -1))
                         self._send(200, 'image/png', state.render_png(
-                            theta, phi, radius, t, mode, pose))
+                            theta, phi, radius, t, mode, pose, sel))
+                    elif u.path == '/pick':
+                        self._send(200, 'application/json', state.pick_json(
+                            theta, phi, radius, t, pose,
+                            int(float(q.get('x', 0))),
+                            int(float(q.get('y', 0)))))
                     else:
                         self._send(200, 'application/json',
                                    state.skeleton_json(theta, phi, radius,
