@@ -1,1 +1,2 @@
-from .mesh import make_mesh, replicated, view_sharded  # noqa: F401
+from .mesh import (init_distributed, make_mesh, replicated,  # noqa: F401
+                   view_sharded)

@@ -12,20 +12,88 @@ all-reduces (riding ICI within a slice). The reference is data-parallel only
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_DIST_INITIALIZED = False
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> dict:
+    """Multi-host wiring: call ``jax.distributed.initialize`` when launched as
+    one process per host (SURVEY §7.7; env-var parity with the reference's
+    ``env://`` init, /root/reference/my_ext/distributed.py:50-76).
+
+    Env fallbacks, in priority order:
+      coordinator:   JAX_COORDINATOR_ADDRESS, else MASTER_ADDR[:MASTER_PORT]
+      num_processes: JAX_NUM_PROCESSES, else WORLD_SIZE
+      process_id:    JAX_PROCESS_ID, else RANK
+
+    Single-process runs (no env set, no args) skip initialization entirely —
+    the common local path stays zero-config. Returns a summary dict with
+    ``process_index``/``process_count``/``local_device_count``.
+    """
+    global _DIST_INITIALIZED
+
+    def _env(*names):
+        for n in names:
+            v = os.environ.get(n)
+            if v is not None:
+                return v
+        return None
+
+    if coordinator is None:
+        coordinator = _env('JAX_COORDINATOR_ADDRESS')
+        if coordinator is None and _env('MASTER_ADDR') is not None:
+            coordinator = (_env('MASTER_ADDR') + ':'
+                           + (_env('MASTER_PORT') or '12321'))
+    if num_processes is None:
+        v = _env('JAX_NUM_PROCESSES', 'WORLD_SIZE')
+        num_processes = int(v) if v is not None else None
+    if process_id is None:
+        v = _env('JAX_PROCESS_ID', 'RANK')
+        process_id = int(v) if v is not None else None
+
+    multi = (num_processes or 1) > 1 or coordinator is not None
+    if multi and not _DIST_INITIALIZED:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        _DIST_INITIALIZED = True
+    return {
+        'process_index': jax.process_index(),
+        'process_count': jax.process_count(),
+        'local_device_count': jax.local_device_count(),
+        'device_count': jax.device_count(),
+    }
+
 
 def make_mesh(n_view: Optional[int] = None, n_gs: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the ('view', 'gs') mesh over all (global) devices.
+
+    ``jax.devices()`` orders devices by process, so with ``n_gs`` ≤ the
+    per-host device count the reshape keeps every ``gs`` (model-parallel)
+    group within one host — its all-to-all splat exchange rides ICI — while
+    the ``view`` (data-parallel) axis spans hosts and only carries the
+    gradient all-reduce over DCN. This is the layout SURVEY §7.7 calls for.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_view is None:
         n_view = n // n_gs
     assert n_view * n_gs == n, f"{n_view}x{n_gs} != {n} devices"
+    if n_gs > jax.local_device_count() and jax.process_count() > 1:
+        import warnings
+        warnings.warn(
+            f"gs axis ({n_gs}) exceeds per-host device count "
+            f"({jax.local_device_count()}); the splat all-to-all will "
+            f"cross DCN instead of riding ICI")
     arr = np.asarray(devices).reshape(n_view, n_gs)
     return Mesh(arr, ('view', 'gs'))
 

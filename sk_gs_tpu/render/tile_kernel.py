@@ -93,11 +93,13 @@ IMPL = {
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
     #                        the DMA pipeline but trivializes the chunk math;
     #                        'nodma' keeps the math on stale buffer contents
-    'grad_reduce': 'scatter',  # per-pair grad -> per-gaussian reduction:
-    #                        'scatter' = XLA scatter-add segment_sum (14.6 ms
-    #                        at [2^20, 9] -> [100k, 9] on v5e); 'sorted' =
-    #                        payload-sort by rank id + sorted segment_sum
-    #                        (A/B on hardware before flipping the default)
+    'grad_reduce': 'auto',  # per-pair grad -> per-gaussian reduction:
+    #                        'scatter' = XLA scatter-add segment_sum;
+    #                        'sorted' = payload-sort by rank id + sorted
+    #                        segment_sum; 'auto' = sorted at pair caps
+    #                        >= 2^19, scatter below (hardware A/B, round 3:
+    #                        scatter wins 3.97 vs 4.47 ms at cap 2^17/n=20k,
+    #                        sorted wins 25.2 vs 25.8 ms at cap 2^20/n=100k)
 }
 
 # power <= 0 in exact arithmetic for any PSD conic (power = -q, q >= 0); the
@@ -918,7 +920,13 @@ def _blend_bwd(cfg, residuals, cotangents):
     # scatter-add per-entry grads back to (N+1)-padded rows (the CUDA
     # atomicAdd equivalent, conflict-free by construction); only the real
     # feature columns — the 128-lane padding carries no gradient
-    if IMPL['grad_reduce'] == 'sorted':
+    reduce_kind = IMPL['grad_reduce']
+    if reduce_kind == 'auto':
+        # measured crossover (v5e, kernel_lab round 3): the payload sort
+        # amortizes only at large pair counts — cap 2^17/n=20k: scatter
+        # 3.97 vs sorted 4.47 ms; cap 2^20/n=100k: sorted 25.2 vs 25.8 ms
+        reduce_kind = 'sorted' if sort_gauss.shape[0] >= 2 ** 19 else 'scatter'
+    if reduce_kind == 'sorted':
         # bring entries into ascending-rank order first: a sorted
         # segment_sum reduces contiguous runs instead of random-index
         # read-modify-writes (sum order differs from 'scatter' only in

@@ -171,4 +171,4 @@ class TestSortedGradReduce:
         b = jax.ops.segment_sum(g[perm], ids_sorted, num_segments=N,
                                 indices_are_sorted=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-        assert tk.IMPL['grad_reduce'] in ('scatter', 'sorted')
+        assert tk.IMPL['grad_reduce'] in ('scatter', 'sorted', 'auto')

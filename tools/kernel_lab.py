@@ -125,19 +125,23 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
 
     R = args.reps
 
-    def scan_bench(name, body):
+    # All large arrays ride as jit ARGUMENTS (the `env` pytree), never as
+    # closure captures: a captured array lowers to an HLO constant and at
+    # n=100k/cap=2^20 the 36 MB feat_s blows the axon tunnel's remote_compile
+    # request-size limit (HTTP 413).
+    def scan_bench(name, body, env):
         @jax.jit
-        def run(z):
-            tot, _ = jax.lax.scan(lambda c, _: (body(c), None), z,
+        def run(z, env):
+            tot, _ = jax.lax.scan(lambda c, _: (body(c, env), None), z,
                                   jnp.arange(R))
             return tot
         t0 = time.time()
-        jax.block_until_ready(run(jnp.zeros(())))
+        jax.block_until_ready(run(jnp.zeros(()), env))
         compile_s = time.time() - t0
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            out = run(jnp.zeros(()))
+            out = run(jnp.zeros(()), env)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / (reps * R)
         print(f"{name:22s} {dt*1e3:8.3f} ms/iter  (compile {compile_s:.0f}s)",
@@ -146,57 +150,64 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
 
     ch = 3
     # loop-variant chunk metadata defeats loop-invariant hoisting; 0-cost
-    def perturb(c):
+    def perturb(c, b):
         z = (0.0 * c).astype(jnp.int32)
         return b.chunk_tile + z, b.chunk_start_flag + z, b.chunk_valid + z, \
             b.chunk_src + z
 
     tile_sched = tk.IMPL['schedule'] == 'tile'
 
-    def perturb_tile(c):
+    def perturb_tile(c, b):
         z = (0.0 * c).astype(jnp.int32)
         return b.tile_start + z, b.tile_count + z
 
     if tile_sched:
-        def body_fwd(c):
-            ts, tcn = perturb_tile(c)
-            color, alpha = tk._pallas_forward_tile(feat_s, ts, tcn, cfg, ch)
+        def body_fwd(c, env):
+            ts, tcn = perturb_tile(c, env['b'])
+            color, alpha = tk._pallas_forward_tile(env['feat_s'], ts, tcn,
+                                                   cfg, ch)
             return c + 0.0 * (jnp.sum(color[::64]) + jnp.sum(alpha[::64]))
 
         color0, alpha0 = jax.jit(
-            lambda: tk._pallas_forward_tile(feat_s, b.tile_start,
-                                            b.tile_count, cfg, ch))()
+            lambda fs, ts, tc: tk._pallas_forward_tile(fs, ts, tc, cfg, ch)
+        )(feat_s, b.tile_start, b.tile_count)
     else:
-        def body_fwd(c):
-            ct, cs, sv, sc = perturb(c)
-            color, alpha = tk._pallas_forward(feat_s, ct, cs, sv, sc, cfg, ch)
+        def body_fwd(c, env):
+            ct, cs, sv, sc = perturb(c, env['b'])
+            color, alpha = tk._pallas_forward(env['feat_s'], ct, cs, sv, sc,
+                                              cfg, ch)
             return c + 0.0 * (jnp.sum(color[::64]) + jnp.sum(alpha[::64]))
 
         color0, alpha0 = jax.jit(
-            lambda: tk._pallas_forward(feat_s, b.chunk_tile,
-                                       b.chunk_start_flag,
-                                       b.chunk_valid, b.chunk_src, cfg, ch))()
+            lambda fs, b: tk._pallas_forward(fs, b.chunk_tile,
+                                             b.chunk_start_flag,
+                                             b.chunk_valid, b.chunk_src,
+                                             cfg, ch))(feat_s, b)
     gcol = jnp.ones_like(color0) * 0.3
     galp = jnp.ones_like(alpha0) * 0.1
 
     if tile_sched:
-        def body_bwd(c):
-            ts, tcn = perturb_tile(c)
-            gfeat = tk._pallas_backward_tile(feat_s, ts, tcn, color0, alpha0,
-                                             gcol, galp, cfg, ch)
+        def body_bwd(c, env):
+            ts, tcn = perturb_tile(c, env['b'])
+            gfeat = tk._pallas_backward_tile(env['feat_s'], ts, tcn,
+                                             env['color0'], env['alpha0'],
+                                             env['gcol'], env['galp'], cfg,
+                                             ch)
             return c + 0.0 * jnp.sum(gfeat[::512, ::32])
     else:
-        def body_bwd(c):
-            ct, cs, sv, sc = perturb(c)
-            gfeat = tk._pallas_backward(feat_s, ct, cs, sv, sc, color0,
-                                        alpha0, gcol, galp, cfg, ch)
+        def body_bwd(c, env):
+            ct, cs, sv, sc = perturb(c, env['b'])
+            gfeat = tk._pallas_backward(env['feat_s'], ct, cs, sv, sc,
+                                        env['color0'], env['alpha0'],
+                                        env['gcol'], env['galp'], cfg, ch)
             return c + 0.0 * jnp.sum(gfeat[::512, ::32])
 
-    def body_full(c):
-        ct, cs, sv, sc = perturb(c)
-        b2 = b._replace(chunk_tile=ct, chunk_start_flag=cs, chunk_valid=sv,
-                        chunk_src=sc)
-        xys, conic, opa, col = padded
+    def body_full(c, env):
+        b0 = env['b']
+        ct, cs, sv, sc = perturb(c, b0)
+        b2 = b0._replace(chunk_tile=ct, chunk_start_flag=cs, chunk_valid=sv,
+                         chunk_src=sc)
+        xys, conic, opa, col = env['padded']
 
         def loss(xys, conic, opa, col):
             tc, ta = tk._blend_custom(
@@ -209,10 +220,12 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
             xys, conic, opa, col)
         return c + val * 0.0 + 0.0 * sum(jnp.sum(x) for x in grads)
 
-    t_f = scan_bench('pallas fwd', body_fwd)
-    t_b = scan_bench('pallas bwd', body_bwd)
+    env = dict(b=b, feat_s=feat_s, color0=color0, alpha0=alpha0,
+               gcol=gcol, galp=galp, padded=padded)
+    t_f = scan_bench('pallas fwd', body_fwd, env)
+    t_b = scan_bench('pallas bwd', body_bwd, env)
     if diag == 'none':
-        t_fb = scan_bench('blend fwd+bwd (vjp)', body_full)
+        t_fb = scan_bench('blend fwd+bwd (vjp)', body_full, env)
         print(f"summary: fwd {t_f*1e3:.3f}  bwd {t_b*1e3:.3f}  "
               f"vjp_total {t_fb*1e3:.3f}  "
               f"(overhead vs f+b: {1e3*(t_fb-t_f-t_b):.3f} ms)", flush=True)

@@ -261,6 +261,16 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+    # multi-host: one process per host, coordinator from env (RANK/WORLD_SIZE/
+    # MASTER_ADDR or JAX_* equivalents) — env:// parity with the reference's
+    # my_ext/distributed.py:50-76. No-op for single-process runs.
+    from sk_gs_tpu.parallel import init_distributed
+    dist = init_distributed()
+    if dist['process_count'] > 1:
+        logging.info('multi-host: process %d/%d, %d local / %d global devices',
+                     dist['process_index'], dist['process_count'],
+                     dist['local_device_count'], dist['device_count'])
+
     from sk_gs_tpu.framework.config import make_config, save_config
     from sk_gs_tpu.framework.checkpoint import CheckpointManager
     from sk_gs_tpu.framework.trainer import SKGSTrainer
