@@ -111,7 +111,9 @@ def build_scene(images: np.ndarray, Tv2w: np.ndarray, fovx: float,
                 times: np.ndarray, meta: SceneMeta,
                 camera_ids: Optional[np.ndarray] = None,
                 time_ids: Optional[np.ndarray] = None,
-                Tv2c: Optional[np.ndarray] = None) -> Tuple[Scene, SceneMeta]:
+                Tv2c: Optional[np.ndarray] = None,
+                tan_fovx: Optional[np.ndarray] = None,
+                tan_fovy: Optional[np.ndarray] = None) -> Tuple[Scene, SceneMeta]:
     """Assemble a Scene from camera-to-world matrices + shared fovx.
 
     images: [F, H, W, 3|4] float32; RGBA gets background-composited here
@@ -155,8 +157,10 @@ def build_scene(images: np.ndarray, Tv2w: np.ndarray, fovx: float,
         Tw2v=jnp.asarray(Tw2v),
         Tv2c=jnp.asarray(Tv2c, jnp.float32),
         campos=jnp.asarray(campos),
-        tan_fovx=jnp.full((f,), np.tan(fovx * 0.5), jnp.float32),
-        tan_fovy=jnp.full((f,), np.tan(fovy * 0.5), jnp.float32),
+        tan_fovx=(jnp.asarray(tan_fovx, jnp.float32) if tan_fovx is not None
+                  else jnp.full((f,), np.tan(fovx * 0.5), jnp.float32)),
+        tan_fovy=(jnp.asarray(tan_fovy, jnp.float32) if tan_fovy is not None
+                  else jnp.full((f,), np.tan(fovy * 0.5), jnp.float32)),
         times=jnp.asarray(times, jnp.float32),
         time_ids=jnp.asarray(time_ids, jnp.int32),
         camera_ids=jnp.asarray(camera_ids, jnp.int32),

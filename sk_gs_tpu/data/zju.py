@@ -194,11 +194,20 @@ def load_zju_pickled(root: str, scene: str = '377',
     intrinsics = np.stack(intrinsics)
 
     h, w = images.shape[1:3]
-    fx = intrinsics[:, 0, 0]
+    # exact per-camera projection from raw intrinsics (fx != fy, off-center
+    # principal point when move_center=False) — ops_3d.perspective2 parity
+    # (/root/reference/datasets/ZJU_MoCAP.py:361-362)
+    fx, fy = intrinsics[:, 0, 0], intrinsics[:, 1, 1]
+    cx, cy = intrinsics[:, 0, 2], intrinsics[:, 1, 2]
+    Tv2c_cams = np.asarray(tf.perspective_pp((w, h), fx, fy, cx, cy,
+                                             n=near, f=far))
     fovx = float(tf.focal_to_fov(float(fx.mean()), w))
     Tv2w_per_image = poses[camera_ids]
     meta = SceneMeta(background_type=background, near=near, far=far,
                      scene=scene)
     return build_scene(images, Tv2w_per_image, fovx,
                        np.asarray(times, np.float32), meta,
-                       camera_ids=camera_ids, time_ids=time_ids)
+                       camera_ids=camera_ids, time_ids=time_ids,
+                       Tv2c=Tv2c_cams[camera_ids],
+                       tan_fovx=(w / (2.0 * fx))[camera_ids],
+                       tan_fovy=(h / (2.0 * fy))[camera_ids])

@@ -124,6 +124,34 @@ def perspective_opencv(fovy, aspect: float = 1.0, n: float = 0.1, f: float = 100
     return P
 
 
+def perspective_pp(size: Tuple[int, int], fx, fy, cx=None, cy=None,
+                   n: float = 0.1, f: float = 1000.0,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """OpenCV-convention projection from raw intrinsics (per-camera focals
+    and a possibly off-center principal point).
+
+    Parity: ``ops_3d.perspective2``
+    (/root/reference/my_ext/ops_3d/coord_trans_opencv.py:242-296) — the
+    projection the pickled ZJU dataset builds per camera
+    (/root/reference/datasets/ZJU_MoCAP.py:361-362).
+    """
+    W, H = size
+    fx = jnp.asarray(fx, dtype=dtype)
+    fy = jnp.asarray(fy, dtype=dtype)
+    cx = jnp.asarray(W / 2 if cx is None else cx, dtype=dtype)
+    cy = jnp.asarray(H / 2 if cy is None else cy, dtype=dtype)
+    shape = jnp.broadcast_shapes(fx.shape, fy.shape, cx.shape, cy.shape)
+    P = jnp.zeros((*shape, 4, 4), dtype=dtype)
+    P = P.at[..., 0, 0].set(2.0 * fx / W)
+    P = P.at[..., 1, 1].set(2.0 * fy / H)
+    P = P.at[..., 0, 2].set((2.0 * cx - W) / W)
+    P = P.at[..., 1, 2].set((2.0 * cy - H) / H)
+    P = P.at[..., 2, 2].set((f + n) / (f - n))
+    P = P.at[..., 2, 3].set(-(2.0 * f * n) / (f - n))
+    P = P.at[..., 3, 2].set(1.0)
+    return P
+
+
 def perspective_opengl(fovy, aspect: float = 1.0, n: float = 0.1, f: float = 1000.0,
                        size: Optional[Tuple[int, int]] = None, dtype=jnp.float32) -> jnp.ndarray:
     """OpenGL-convention projection Tv2c (camera looks down -z)."""
