@@ -401,10 +401,13 @@ def main(argv=None):
                 logging.warning(
                     'pair capacity overflow at step %d — splats are being '
                     'dropped; raise raster.pair_capacity', step)
+            extra = {k: round(float(v), 6) for k, v in metrics.items()
+                     if k in ('n_vis', 'dxyz_max', 'rgb', 'ssim', 'smooth',
+                              'sparse', 'c_net', 'cmp_p')}
             metrics_log.write(json.dumps(
                 {'step': step, 'stage': skcfg.stage_at(step),
                  'loss': loss_f, 'psnr': psnr_f,
-                 'ms_per_step': round(dt * 1e3, 1)}) + '\n')
+                 'ms_per_step': round(dt * 1e3, 1), **extra}) + '\n')
             metrics_log.flush()
         if vis_interval and (step % vis_interval == 0 or step == total):
             save_vis_triplet(trainer, out_dir / 'vis', step)
