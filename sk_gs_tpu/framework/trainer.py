@@ -1209,10 +1209,25 @@ class SKGSTrainer:
             idxs = [self.sampler.sample(step)]
 
         noise = sk_gs.smooth_scale(cfg, step) if not cfg.net.is_blender else 0.0
+        # reference step gates on the loss weights (host-side, rides the
+        # sched vector so no recompile): joint losses only from
+        # joint_update_interval[1] (sk_gs.py:1554); canonical-net
+        # consistency only until canonical_replace + 5 (sk_gs.py:1534-1536,
+        # 1502-1503 via loss_canonical_net's step guard)
+        lw_vals = []
+        for name in LW_NAMES:
+            w = self.loss_w.w(name)
+            if name in ('joint', 'joint_all', 'jp_dist') \
+                    and step < cfg.joint_update_interval[1]:
+                w = 0.0
+            if name == 'c_net' and cfg.canonical_replace_steps \
+                    and step > max(cfg.canonical_replace_steps) + 5:
+                w = 0.0
+            lw_vals.append(w)
         # one small H2D per step: [s_rel, noise, *loss_weights, *sample idxs]
         sched = jnp.asarray(
             [float(self.stage_rel_step(step)), noise]
-            + [self.loss_w.w(name) for name in LW_NAMES]
+            + lw_vals
             + [float(i) for i in idxs], jnp.float32)
         fn = self._get_step_fn(stage)
         st.model, st.opt_state, metrics, st.key = fn(

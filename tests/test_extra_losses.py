@@ -14,6 +14,8 @@ from sk_gs_tpu.models.gaussian_splatting import GaussianConfig, init_from_pcd
 from sk_gs_tpu.models.losses import LossWeights
 from sk_gs_tpu.render import RasterConfig
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def tiny_scene():

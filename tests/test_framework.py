@@ -86,6 +86,7 @@ class TestPly:
 
 
 class TestParallel:
+    @pytest.mark.slow
     def test_dryrun_8_devices(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)

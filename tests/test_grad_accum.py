@@ -7,6 +7,8 @@ import pytest
 
 from tests.test_extra_losses import make_trainer, tiny_scene  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 
 class TestGradAccum:
     def test_batched_staged_schedule_finite(self, tiny_scene):

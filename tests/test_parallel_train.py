@@ -23,6 +23,8 @@ from sk_gs_tpu.render import RasterConfig
 
 from tests.test_trainer_e2e import tiny_cfg
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def synthetic64():

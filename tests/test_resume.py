@@ -19,6 +19,9 @@ from sk_gs_tpu.models.gaussian_splatting import init_from_pcd
 from sk_gs_tpu.render import RasterConfig
 
 from test_trainer_e2e import tiny_cfg
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def make_trainer(synthetic, cfg, model_seed=0, trainer_seed=0):

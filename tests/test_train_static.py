@@ -11,6 +11,9 @@ from sk_gs_tpu.models.gaussian_splatting import (
 from sk_gs_tpu.models.losses import l1_loss, psnr, ssim_loss
 from sk_gs_tpu.render import RasterConfig, composite_background, render
 from tests.test_render import build_inputs, make_view
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RCFG = RasterConfig(image_width=64, image_height=48, sh_degree=2,
                     pair_capacity=2 ** 15, chunk=64, use_pallas=False)

@@ -16,6 +16,8 @@ from sk_gs_tpu.models.deform import DeformNetConfig, SkeletonNetConfig
 from sk_gs_tpu.models.gaussian_splatting import GaussianConfig, init_from_pcd
 from sk_gs_tpu.render import RasterConfig
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(num_frames):
     return sk_gs.SKGSConfig(
