@@ -338,6 +338,17 @@ class SKGSTrainer:
     def _build_step_fn(self, family: str) -> Callable:
         cfg, rcfg = self.cfg, self.rcfg
         update_cache = family == 'sp'
+        # densify-grad units: our means2d (and its offset hook) are PIXEL
+        # coordinates, but the reference accumulates the viewspace gradient
+        # in NDC units — its CUDA backward scales by ddelx_dx = 0.5*W
+        # (gaussian_render.cu:239,329) before the norm that
+        # densify_grad_threshold=0.0002 is calibrated against
+        # (gaussian_splatting.py:503-513). Without this factor the
+        # threshold is ~(W/2)x too high and densification NEVER fires:
+        # the population can only shrink (round-3 white-render collapse,
+        # 2000 -> 109 -> 0 alive by the first post-reset prune).
+        _NDC_SCALE = jnp.asarray([rcfg.image_width * 0.5,
+                                  rcfg.image_height * 0.5], jnp.float32)
         # sk stages cache the per-frame skeleton-net outputs for the
         # test_time_interpolate eval path (kinematic, sk_gs.py:1077-1079)
         update_sk_cache = family == 'sk'
@@ -832,8 +843,8 @@ class SKGSTrainer:
                     jnp.max(radii_k, axis=0).astype(jnp.float32), 'view')
                 n_seen = jax.lax.psum(
                     jnp.sum(seen_k, axis=0).astype(jnp.float32), 'view')
-                gnorm = jnp.sqrt(jnp.sum(jnp.square(m2d_grad[:, :2]), -1)
-                                 + 1e-24)
+                gnorm = jnp.sqrt(jnp.sum(jnp.square(
+                    m2d_grad[:, :2] * _NDC_SCALE), -1) + 1e-24)
                 model = model._replace(
                     max_radii2d=jnp.where(seen, jnp.maximum(
                         model.max_radii2d, radii_max), model.max_radii2d),
@@ -901,8 +912,8 @@ class SKGSTrainer:
             max_r = jnp.where(seen, jnp.maximum(
                 model.max_radii2d, radii_max.astype(jnp.float32)),
                 model.max_radii2d)
-            gnorm = jnp.sqrt(jnp.sum(jnp.square(m2d_grad[:, :2]), -1)
-                             + 1e-24)
+            gnorm = jnp.sqrt(jnp.sum(jnp.square(
+                m2d_grad[:, :2] * _NDC_SCALE), -1) + 1e-24)
             n_seen = jnp.sum(seen_k, axis=0).astype(jnp.float32)
             return {
                 'max_radii2d': max_r,
@@ -1044,7 +1055,15 @@ class SKGSTrainer:
                 # (adaptive_control_init_stage, sk_gs.py:1949)
                 size_thr = g.prune_max_screen_size \
                     if rel > g.opacity_reset_interval[0] else 0.0
-                self._densify_prune(True, True, rel, size_thr)
+                do_dens = True
+                if not cfg.net.is_blender:
+                    # real-capture nets cap init growth at M * ratio
+                    # (grad_max=inf branch, sk_gs.py:1950-1956)
+                    n_alive = int(jnp.sum(self.state.model.alive))
+                    if n_alive > (cfg.num_superpoints
+                                  * cfg.node_max_num_ratio_during_init):
+                        do_dens = False
+                self._densify_prune(do_dens, True, rel, size_thr)
             if rel < cfg.init_sampling_step and check_interval_v2(
                     rel, *g.init_opacity_reset_interval):
                 self._reset_opacity()
