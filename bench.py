@@ -236,6 +236,8 @@ def run_mesh_bench(arg):
 
     # gs:N — exchange-render overhead vs the plain renderer, same chip(s)
     n_gs = int(arg.split(':')[1]) if ':' in arg else 1
+    assert n_gs <= len(jax.devices()), (
+        f"--mesh gs:{n_gs} needs {n_gs} devices, have {len(jax.devices())}")
     t_plain = timed(make_loop(lambda g, v: render(g, v, cfg)), (g,))
     mesh = Mesh(np.asarray(jax.devices()[:n_gs]), ('gs',))
     ex_fn = make_exchange_render(mesh, cfg)

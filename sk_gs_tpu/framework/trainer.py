@@ -27,7 +27,7 @@ from jax.sharding import PartitionSpec as P
 from ..data.base import Scene, SceneMeta
 from ..models import optim, sk_gs, sk_gs_ops, skeleton, superpoints
 from ..models.gaussian_splatting import (densify_and_prune, expon_lr,
-                                         reset_opacity)
+                                         ndc_grad_norm, reset_opacity)
 from ..models.losses import LossWeights, l1_loss, mse_loss, psnr, ssim_loss
 from ..models.sk_gs import SKGSConfig, SKGSModel, forward_deltas
 from ..render import RasterConfig, composite_background, render
@@ -347,8 +347,7 @@ class SKGSTrainer:
         # threshold is ~(W/2)x too high and densification NEVER fires:
         # the population can only shrink (round-3 white-render collapse,
         # 2000 -> 109 -> 0 alive by the first post-reset prune).
-        _NDC_SCALE = jnp.asarray([rcfg.image_width * 0.5,
-                                  rcfg.image_height * 0.5], jnp.float32)
+        _IMAGE_SIZE = (rcfg.image_width, rcfg.image_height)
         # sk stages cache the per-frame skeleton-net outputs for the
         # test_time_interpolate eval path (kinematic, sk_gs.py:1077-1079)
         update_sk_cache = family == 'sk'
@@ -843,8 +842,7 @@ class SKGSTrainer:
                     jnp.max(radii_k, axis=0).astype(jnp.float32), 'view')
                 n_seen = jax.lax.psum(
                     jnp.sum(seen_k, axis=0).astype(jnp.float32), 'view')
-                gnorm = jnp.sqrt(jnp.sum(jnp.square(
-                    m2d_grad[:, :2] * _NDC_SCALE), -1) + 1e-24)
+                gnorm = ndc_grad_norm(m2d_grad, _IMAGE_SIZE, eps=1e-24)
                 model = model._replace(
                     max_radii2d=jnp.where(seen, jnp.maximum(
                         model.max_radii2d, radii_max), model.max_radii2d),
@@ -912,8 +910,7 @@ class SKGSTrainer:
             max_r = jnp.where(seen, jnp.maximum(
                 model.max_radii2d, radii_max.astype(jnp.float32)),
                 model.max_radii2d)
-            gnorm = jnp.sqrt(jnp.sum(jnp.square(
-                m2d_grad[:, :2] * _NDC_SCALE), -1) + 1e-24)
+            gnorm = ndc_grad_norm(m2d_grad, _IMAGE_SIZE, eps=1e-24)
             n_seen = jnp.sum(seen_k, axis=0).astype(jnp.float32)
             return {
                 'max_radii2d': max_r,

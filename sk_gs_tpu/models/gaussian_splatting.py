@@ -195,25 +195,39 @@ def lr_tree(cfg: GaussianConfig, step: int, spatial_scale: float
 
 # ---------------------------------------------------------------- adaptive control
 
+def ndc_grad_norm(means2d_grad: jnp.ndarray, image_size,
+                  eps: float = 0.0) -> jnp.ndarray:
+    """Per-Gaussian viewspace gradient norm in NDC units.
+
+    ``means2d_grad`` is in PIXEL units here; ``image_size`` (W, H) rescales
+    to the NDC units the reference thresholds against (its CUDA backward
+    multiplies by ddelx_dx = 0.5*W before the norm,
+    gaussian_render.cu:239,329 — without this, densify_grad_threshold is
+    effectively (W/2)x too high and densification never fires)."""
+    scale = jnp.asarray([image_size[0] * 0.5, image_size[1] * 0.5],
+                        jnp.float32)
+    g2 = means2d_grad[..., :2] * scale
+    return jnp.sqrt(jnp.sum(jnp.square(g2), axis=-1) + eps)
+
+
 def accumulate_stats(m: GaussianModel, radii: jnp.ndarray,
                      means2d_grad: jnp.ndarray,
-                     image_size=None) -> GaussianModel:
+                     image_size) -> GaussianModel:
     """add_densification_stats + max_radii2D tracking
     (gaussian_splatting.py:503-513, 669-674).
 
-    ``means2d_grad`` is in PIXEL units here; pass ``image_size`` (W, H) to
-    rescale to the NDC units the reference thresholds against (its CUDA
-    backward multiplies by ddelx_dx = 0.5*W before the norm,
-    gaussian_render.cu:239,329 — without this, densify_grad_threshold is
-    effectively (W/2)x too high and densification never fires)."""
+    ``image_size`` (W, H) is REQUIRED: accumulating raw pixel-unit grads
+    reproduces the round-3 white-render collapse (densification never
+    fires). See :func:`ndc_grad_norm`."""
+    if image_size is None:
+        raise ValueError(
+            "accumulate_stats requires image_size=(W, H) to rescale pixel "
+            "grads to the NDC units densify_grad_threshold is calibrated "
+            "against")
     seen = radii > 0
     max_r = jnp.where(seen, jnp.maximum(m.max_radii2d, radii.astype(jnp.float32)),
                       m.max_radii2d)
-    g2 = means2d_grad[:, :2]
-    if image_size is not None:
-        g2 = g2 * jnp.asarray([image_size[0] * 0.5, image_size[1] * 0.5],
-                              jnp.float32)
-    gnorm = jnp.linalg.norm(g2, axis=-1)
+    gnorm = ndc_grad_norm(means2d_grad, image_size)
     accum = jnp.where(seen, m.xyz_grad_accum + gnorm, m.xyz_grad_accum)
     denom = jnp.where(seen, m.denom + 1.0, m.denom)
     return m._replace(max_radii2d=max_r, xyz_grad_accum=accum, denom=denom)

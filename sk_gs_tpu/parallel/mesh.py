@@ -59,7 +59,10 @@ def init_distributed(coordinator: Optional[str] = None,
         v = _env('JAX_PROCESS_ID', 'RANK')
         process_id = int(v) if v is not None else None
 
-    multi = (num_processes or 1) > 1 or coordinator is not None
+    # Require an explicit process count > 1: a stale MASTER_ADDR with
+    # WORLD_SIZE=1 (common under torchrun/SLURM wrappers) must not trigger a
+    # coordinator connect that can hang a single-process run.
+    multi = (num_processes or 1) > 1
     if multi and not _DIST_INITIALIZED:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,

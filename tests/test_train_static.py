@@ -52,7 +52,9 @@ class TestStaticTraining:
             new_params, new_opt = optim.adam_update(pgrads, opt_state,
                                                     model.params, lrs)
             model = model._replace(params=new_params)
-            model = accumulate_stats(model, out['radii'], m2d_grad)
+            model = accumulate_stats(model, out['radii'], m2d_grad,
+                                     image_size=(RCFG.image_width,
+                                                 RCFG.image_height))
             return model, new_opt, loss, out
 
         losses = []
