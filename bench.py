@@ -273,8 +273,11 @@ def run_bench():
         opacities=jnp.asarray(rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32)),
         colors=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)))
     W = H = 400
+    tile_h = int(os.environ.get('BENCH_TILE_H', '16'))
+    cap = 2 ** 17 if tile_h == 16 else 2 ** 18  # 16x8 tiles emit ~+33% pairs
     cfg = RasterConfig(image_width=W, image_height=H,
-                       pair_capacity=2 ** 17, chunk=128, use_pallas=on_tpu)
+                       pair_capacity=cap, chunk=128, use_pallas=on_tpu,
+                       tile_h=tile_h)
     Tv2c = tf.perspective_opencv(jnp.asarray(0.8), size=(W, H))
     tanf = jnp.asarray(np.tan(0.4), jnp.float32)
 

@@ -38,9 +38,9 @@ def band_config(cfg: RasterConfig, n_bands: int) -> RasterConfig:
     """Raster config for one horizontal band of tile rows."""
     assert cfg.grid_h % n_bands == 0, \
         f"grid_h {cfg.grid_h} not divisible by {n_bands} bands " \
-        f"(pad image_height to a multiple of {n_bands * TILE})"
+        f"(pad image_height to a multiple of {n_bands * cfg.tile_h})"
     band_rows = cfg.grid_h // n_bands
-    return cfg._replace(image_height=band_rows * TILE,
+    return cfg._replace(image_height=band_rows * cfg.tile_h,
                         pair_capacity=cfg.pair_capacity // n_bands)
 
 
@@ -54,7 +54,7 @@ def _restrict_to_band(pre: PreprocessOut, band: jnp.ndarray,
     rmax_y = jnp.clip(pre.rect_max[:, 1], y0_tile, y1_tile) - y0_tile
     area = (pre.rect_max[:, 0] - pre.rect_min[:, 0]) * (rmax_y - rmin_y)
     visible = pre.visible & (area > 0)
-    means2d = pre.means2d - jnp.asarray([0.0, 1.0]) * (y0_tile * TILE)
+    means2d = pre.means2d - jnp.asarray([0.0, 1.0]) * (y0_tile * cfg.tile_h)
     return pre._replace(
         means2d=means2d,
         rect_min=jnp.stack([pre.rect_min[:, 0], rmin_y], -1),
@@ -178,7 +178,7 @@ def exchange_render_band(pre: PreprocessOut, opac: jnp.ndarray,
     ly1 = jnp.clip(ry1 - y0_tile, 0, band_rows)
     area = (rx1 - rx0) * (ly1 - ly0)
     visible = visible & (area > 0)
-    y0_px = band.astype(jnp.float32) * (band_rows * TILE)
+    y0_px = band.astype(jnp.float32) * (band_rows * bcfg.tile_h)
     means2d = recv[:, 0:2] - jnp.stack([jnp.zeros_like(y0_px), y0_px])
     pre_b = PreprocessOut(
         means2d=means2d,

@@ -127,8 +127,8 @@ def build_tile_lists(pre: PreprocessOut, cfg: RasterConfig) -> BinnedSplats:
         from .settings import TILE
         dxlo = (tx * TILE).astype(jnp.float32) - cx
         dxhi = dxlo + (TILE - 1)
-        dylo = (ty * TILE).astype(jnp.float32) - cy
-        dyhi = dylo + (TILE - 1)
+        dylo = (ty * cfg.tile_h).astype(jnp.float32) - cy
+        dyhi = dylo + (cfg.tile_h - 1)
         inside = (dxlo <= 0) & (0 <= dxhi) & (dylo <= 0) & (0 <= dyhi)
 
         def q(dx, dy):

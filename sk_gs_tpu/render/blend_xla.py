@@ -28,14 +28,14 @@ T_EPS = 1e-4
 
 def _tile_pixel_coords(chunk_tile: jnp.ndarray, cfg: RasterConfig):
     """Pixel centers [num_chunks?, P] for each chunk's tile. Returns
-    (px [.., P], py [.., P]) with P = TILE*TILE, row-major within tile."""
+    (px [.., P], py [.., P]) with P = TILE*tile_h, row-major within tile."""
     tx = (chunk_tile % cfg.grid_w).astype(jnp.float32)
     ty = (chunk_tile // cfg.grid_w).astype(jnp.float32)
-    lp = jnp.arange(TILE * TILE, dtype=jnp.float32)
+    lp = jnp.arange(cfg.pix_per_tile, dtype=jnp.float32)
     lx = lp % TILE
     ly = lp // TILE
     px = tx[..., None] * TILE + lx[None, :]
-    py = ty[..., None] * TILE + ly[None, :]
+    py = ty[..., None] * cfg.tile_h + ly[None, :]
     return px, py
 
 
@@ -67,7 +67,7 @@ def blend_chunks_scan(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray
     VJP (scatter-add) routes chunk gradients back to Gaussians automatically.
     """
     C = cfg.chunk
-    P = TILE * TILE
+    P = cfg.pix_per_tile
     CH = col.shape[-1]
     n_chunks = binned.chunk_tile.shape[0]
 
@@ -118,11 +118,11 @@ def assemble_image(tile_color: jnp.ndarray, tile_alpha: jnp.ndarray,
                    cfg: RasterConfig) -> Dict[str, jnp.ndarray]:
     """[T, P, CH] tiles -> [H, W, CH] image (+ [H, W] opacity), cropped."""
     CH = tile_color.shape[-1]
-    gh, gw = cfg.grid_h, cfg.grid_w
-    img = tile_color.reshape(gh, gw, TILE, TILE, CH)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(gh * TILE, gw * TILE, CH)
-    alpha = tile_alpha.reshape(gh, gw, TILE, TILE)
-    alpha = alpha.transpose(0, 2, 1, 3).reshape(gh * TILE, gw * TILE)
+    gh, gw, th = cfg.grid_h, cfg.grid_w, cfg.tile_h
+    img = tile_color.reshape(gh, gw, th, TILE, CH)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gh * th, gw * TILE, CH)
+    alpha = tile_alpha.reshape(gh, gw, th, TILE)
+    alpha = alpha.transpose(0, 2, 1, 3).reshape(gh * th, gw * TILE)
     H, W = cfg.image_height, cfg.image_width
     return {'images': img[:H, :W], 'opacity': alpha[:H, :W]}
 
@@ -140,7 +140,7 @@ def topk_weights(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
     weights [H, W, k]); index -1 where fewer than k contributors.
     """
     C = cfg.chunk
-    P = TILE * TILE
+    P = cfg.pix_per_tile
     do = binned.depth_order
     xys, conic, opa = xys[do], conic[do], opa[do]
     gi_sorted = binned.sort_gauss
@@ -188,12 +188,12 @@ def topk_weights(binned: BinnedSplats, xys: jnp.ndarray, conic: jnp.ndarray,
         jnp.where(is_last, is_ + 1, 0), binned.chunk_tile,
         num_segments=T_tiles) - 1
 
-    gh, gw = cfg.grid_h, cfg.grid_w
+    gh, gw, th = cfg.grid_h, cfg.grid_w, cfg.tile_h
     H, W = cfg.image_height, cfg.image_width
-    wimg = tile_w.reshape(gh, gw, TILE, TILE, k).transpose(0, 2, 1, 3, 4) \
-        .reshape(gh * TILE, gw * TILE, k)[:H, :W]
-    iimg = tile_i.reshape(gh, gw, TILE, TILE, k).transpose(0, 2, 1, 3, 4) \
-        .reshape(gh * TILE, gw * TILE, k)[:H, :W]
+    wimg = tile_w.reshape(gh, gw, th, TILE, k).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * th, gw * TILE, k)[:H, :W]
+    iimg = tile_i.reshape(gh, gw, th, TILE, k).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * th, gw * TILE, k)[:H, :W]
     # translate depth-rank ids back to ORIGINAL gaussian ids (public API)
     iimg = jnp.where(iimg >= 0, binned.depth_order[jnp.maximum(iimg, 0)], -1)
     return iimg, wimg

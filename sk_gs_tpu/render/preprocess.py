@@ -158,10 +158,11 @@ def preprocess(g: GaussianInputs, view: ViewParams, cfg: RasterConfig,
         rx_f = ry_f = radius_f
 
     # tile rect (getRect, /root/reference/my_ext/_C/src/include/util.cuh)
+    th = cfg.tile_h
     rect_min_x = jnp.clip(((px - rx_f) / TILE).astype(jnp.int32), 0, cfg.grid_w)
-    rect_min_y = jnp.clip(((py - ry_f) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    rect_min_y = jnp.clip(((py - ry_f) / th).astype(jnp.int32), 0, cfg.grid_h)
     rect_max_x = jnp.clip(((px + rx_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_w)
-    rect_max_y = jnp.clip(((py + ry_f + TILE - 1) / TILE).astype(jnp.int32), 0, cfg.grid_h)
+    rect_max_y = jnp.clip(((py + ry_f + th - 1) / th).astype(jnp.int32), 0, cfg.grid_h)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
     visible = in_front & det_valid & (area > 0)

@@ -102,7 +102,7 @@ def render_reference(pre: PreprocessOut, opacities: jnp.ndarray,
 
     ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing='ij')
     pix_xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2).astype(jnp.float32)
-    pix_tile = jnp.stack([xs // TILE, ys // TILE], axis=-1).reshape(-1, 2)
+    pix_tile = jnp.stack([xs // TILE, ys // cfg.tile_h], axis=-1).reshape(-1, 2)
 
     color, alpha = blend_pixels(pix_xy, pix_tile, order, pre.means2d, pre.conic,
                                 opacities, pre.colors, pre.rect_min,

@@ -15,8 +15,13 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-TILE = 16  # pixels per tile side (parity with BLOCK_X/BLOCK_Y = 16,
-#            /root/reference/my_ext/_C/src/include/gaussian_render.h:28-31)
+TILE = 16  # pixels per tile in x (parity with BLOCK_X = 16,
+#            /root/reference/my_ext/_C/src/include/gaussian_render.h:28-31).
+#            The y side is configurable (``RasterConfig.tile_h``): the CUDA
+#            16x16 block maps threads to pixels, but on the TPU the whole
+#            tile's pixel vector rides the lanes — a shorter tile (16x8,
+#            P = 128 = one lane-tile) trades ~+33% pair count for ~-50%
+#            pair-pixel blend volume, a net win once the walk is VPU-bound.
 
 
 class RasterConfig(NamedTuple):
@@ -37,6 +42,8 @@ class RasterConfig(NamedTuple):
     #                              bound q >= dx^2/cov_xx), and both kernels
     #                              mask alpha < 1/255 anyway
     #                              (gaussian_render.cu:87: skip alpha<1/255)
+    tile_h: int = 16             # pixels per tile in y (16 = CUDA parity;
+    #                              8 -> P=128, one lane-tile per pixel vector)
 
     @property
     def grid_w(self) -> int:
@@ -44,7 +51,11 @@ class RasterConfig(NamedTuple):
 
     @property
     def grid_h(self) -> int:
-        return (self.image_height + TILE - 1) // TILE
+        return (self.image_height + self.tile_h - 1) // self.tile_h
+
+    @property
+    def pix_per_tile(self) -> int:
+        return TILE * self.tile_h
 
     @property
     def num_tiles(self) -> int:

@@ -28,7 +28,8 @@ re-designed for the TPU execution model:
   DMAs per-entry grads out per chunk (segment-summed back to Gaussians
   outside, the atomicAdd equivalent).
 
-Layout: splat entries on sublanes (C), tile pixels on lanes (P = 256).
+Layout: splat entries on sublanes (C), tile pixels on lanes
+(P = TILE * cfg.tile_h; 256 at CUDA-parity 16x16 tiles, 128 at 16x8).
 Gradient conventions match the CUDA backward: the 0.99 alpha clamp is
 treated as identity (gaussian_render.cu:245-333), skip/termination
 decisions are constants.
@@ -54,7 +55,6 @@ T_EPS = 1e-4
 # full 128-lane tile — Mosaic requires dynamic-offset DMA slices to be
 # lane-aligned, and the 8x bandwidth overhead is ~0.2 us per chunk
 NUM_FEAT = 128
-P = TILE * TILE  # pixels per tile
 
 # set True to run kernels in the Pallas interpreter (CPU testing)
 INTERPRET = False
@@ -188,14 +188,16 @@ def _shift_down_one(x, fill: float):
     return jnp.concatenate([top, x[:-1]], axis=0)
 
 
-def _pixel_coords(tile, grid_w):
-    """Pixel centers (1, P) for a tile id (row-major within tile)."""
+def _pixel_coords(tile, grid_w, th):
+    """Pixel centers (1, P) for a tile id (row-major within a TILE x th
+    tile; P = TILE * th)."""
     tx = (tile % grid_w).astype(jnp.float32)
     ty = (tile // grid_w).astype(jnp.float32)
-    lp = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1).astype(jnp.float32)
+    lp = jax.lax.broadcasted_iota(jnp.int32, (1, TILE * th), 1
+                                  ).astype(jnp.float32)
     lx = lp % TILE
     ly = lp // TILE
-    return tx * TILE + lx, ty * TILE + ly
+    return tx * TILE + lx, ty * th + ly
 
 
 def _chunk_alpha(feat, px, py, n_valid):
@@ -231,22 +233,25 @@ def _blend_math(feat, px, py, t_run, n_valid):
     return alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w, t_new
 
 
-def _make_basis(tile, grid_w):
+def _make_basis(tile, grid_w, th):
     """Per-tile pixel basis for the MXU blend core.
 
     Returns (cx, cy, u, v, X): tile-center pixel coords (scalars), centered
-    per-pixel offsets u, v (1, P) in [-(TILE-1)/2, (TILE-1)/2], and the
-    polynomial basis X = [u^2, v^2, u*v, u, v, 1, 0, 0] (8, P). Centering
-    keeps the matmul operands small (|u| <= 8) so even one bf16 MXU pass
-    stays accurate; absolute pixel coords (up to image size) would not."""
+    per-pixel offsets u, v (1, P) in [-(TILE-1)/2, (TILE-1)/2] x
+    [-(th-1)/2, (th-1)/2], and the polynomial basis
+    X = [u^2, v^2, u*v, u, v, 1, 0, 0] (8, P). Centering keeps the matmul
+    operands small (|u| <= 8) so even one bf16 MXU pass stays accurate;
+    absolute pixel coords (up to image size) would not."""
     tx = (tile % grid_w).astype(jnp.float32)
     ty = (tile // grid_w).astype(jnp.float32)
-    half = (TILE - 1) / 2.0
-    cx = tx * TILE + half
-    cy = ty * TILE + half
-    lp = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1).astype(jnp.float32)
-    u = lp % TILE - half
-    v = lp // TILE - half
+    half_x = (TILE - 1) / 2.0
+    half_y = (th - 1) / 2.0
+    cx = tx * TILE + half_x
+    cy = ty * th + half_y
+    lp = jax.lax.broadcasted_iota(jnp.int32, (1, TILE * th), 1
+                                  ).astype(jnp.float32)
+    u = lp % TILE - half_x
+    v = lp // TILE - half_y
     X = None
     if IMPL['qform'] == 'mxu' or IMPL['moments'] == 'mxu':
         zr = jnp.zeros_like(u)
@@ -307,7 +312,8 @@ def _feat_dma(feat_hbm, buf, sem, slot, src):
 
 
 def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
-                alpha_ref, t_run, feat_buf, sems, *, grid_w: int, ch: int):
+                alpha_ref, t_run, feat_buf, sems, *, grid_w: int, ch: int,
+                th: int):
     i = pl.program_id(0)
     nc = pl.num_programs(0)
     start = cs_ref[i] == 1
@@ -335,7 +341,7 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
             feat = feat_buf[i % 2]
             for k in range(ch):
                 color_ref[0, k, :] += jnp.broadcast_to(
-                    jnp.sum(feat[:, 6 + k:7 + k], axis=0), (P,))
+                    jnp.sum(feat[:, 6 + k:7 + k], axis=0), (TILE * th,))
         return
 
     @pl.when(start)
@@ -350,7 +356,7 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     @pl.when((sv_ref[i] > 0) & (start | (jnp.max(t_run[:]) >= T_EPS)))
     def _():
         feat = feat_buf[i % 2]
-        px, py = _pixel_coords(tile, grid_w)
+        px, py = _pixel_coords(tile, grid_w, th)
         (alpha, _, _, _, _, _, om, p_excl, contrib, w,
          t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
         for k in range(ch):
@@ -362,7 +368,8 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
 
 def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
                 galpha_ref, cf_ref, af_ref, gfeat_hbm, t_run, c_run,
-                feat_buf, gfeat_buf, sems, osems, *, grid_w: int, ch: int):
+                feat_buf, gfeat_buf, sems, osems, *, grid_w: int, ch: int,
+                th: int):
     i = pl.program_id(0)
     nc = pl.num_programs(0)
     start = cs_ref[i] == 1
@@ -410,7 +417,8 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
     @pl.when(live)
     def _():
         feat = feat_buf[i % 2]
-        px, py = _pixel_coords(tile, grid_w)
+        px, py = _pixel_coords(tile, grid_w, th)
+        P = TILE * th
         (alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w,
          t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
         inv_om = 1.0 / om                                          # (C, P)
@@ -496,7 +504,8 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
 
 
 def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
-                     t_run, feat_buf, sems, *, grid_w: int, ch: int, C: int):
+                     t_run, feat_buf, sems, *, grid_w: int, ch: int, C: int,
+                     th: int):
     t = pl.program_id(0)
     begin = ts_ref[t]
     cnt = tc_ref[t]
@@ -504,7 +513,7 @@ def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
 
     color_ref[:] = jnp.zeros_like(color_ref)
     t_run[:] = jnp.ones_like(t_run)
-    basis = _make_basis(t, grid_w)
+    basis = _make_basis(t, grid_w, th)
 
     @pl.when(nchunks > 0)
     def _():
@@ -548,7 +557,7 @@ def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
 def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
                      cf_ref, af_ref, gfeat_hbm, t_run, c_run, pend,
                      feat_buf, gfeat_buf, sems, osems, *, grid_w: int,
-                     ch: int, C: int):
+                     ch: int, C: int, th: int):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     begin = ts_ref[t]
@@ -578,7 +587,7 @@ def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
 
     t_run[:] = jnp.ones_like(t_run)
     c_run[:] = jnp.zeros_like(c_run)
-    basis = _make_basis(t, grid_w)
+    basis = _make_basis(t, grid_w, th)
     cx, cy, u, v, X = basis
 
     tf = 1.0 - af_ref[0, 0:1, :]                                   # (1, P)
@@ -713,6 +722,7 @@ def _pallas_forward_tile(feat_s, tile_start, tile_count, cfg: RasterConfig,
                          ch: int):
     T = cfg.num_tiles
     C = cfg.chunk
+    P = cfg.pix_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -728,7 +738,8 @@ def _pallas_forward_tile(feat_s, tile_start, tile_count, cfg: RasterConfig,
         ],
     )
     color, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C),
+        functools.partial(_fwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C,
+                          th=cfg.tile_h),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, ch, P), jnp.float32),
@@ -743,6 +754,7 @@ def _pallas_backward_tile(feat_s, tile_start, tile_count, color, alpha,
                           g_color, g_alpha, cfg: RasterConfig, ch: int):
     T = cfg.num_tiles
     C = cfg.chunk
+    P = cfg.pix_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -765,7 +777,8 @@ def _pallas_backward_tile(feat_s, tile_start, tile_count, color, alpha,
         ],
     )
     (gfeat,) = pl.pallas_call(
-        functools.partial(_bwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C),
+        functools.partial(_bwd_kernel_tile, grid_w=cfg.grid_w, ch=ch, C=C,
+                          th=cfg.tile_h),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat_s.shape, jnp.float32)],
         interpret=INTERPRET,
@@ -779,6 +792,7 @@ def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
     nc = num_chunks(cfg)
     T = cfg.num_tiles
     C = cfg.chunk
+    P = cfg.pix_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc,),
@@ -794,7 +808,8 @@ def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
         ],
     )
     color, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_w=cfg.grid_w, ch=ch),
+        functools.partial(_fwd_kernel, grid_w=cfg.grid_w, ch=ch,
+                          th=cfg.tile_h),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, ch, P), jnp.float32),
@@ -810,6 +825,7 @@ def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
                      ch: int):
     nc = num_chunks(cfg)
     C = cfg.chunk
+    P = cfg.pix_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc,),
@@ -831,7 +847,8 @@ def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
         ],
     )
     (gfeat,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_w=cfg.grid_w, ch=ch),
+        functools.partial(_bwd_kernel, grid_w=cfg.grid_w, ch=ch,
+                          th=cfg.tile_h),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat_s.shape, jnp.float32)],
         interpret=INTERPRET,

@@ -91,7 +91,9 @@ class TestPreprocess:
 
 
 class TestBlendVsOracle:
-    def test_forward_matches_oracle(self, rng):
+    @pytest.mark.parametrize('tile_h', [16, 8])
+    def test_forward_matches_oracle(self, rng, tile_h):
+        CFG = globals()['CFG']._replace(tile_h=tile_h)
         g = build_inputs(rng, 300)
         view = make_view()
         out = render(g, view, CFG)

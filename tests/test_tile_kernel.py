@@ -19,18 +19,22 @@ CFG_P = CFG._replace(use_pallas=True, chunk=64)
 
 
 class TestPallasKernel:
-    def test_forward_matches_oracle(self, rng):
+    @pytest.mark.parametrize('tile_h', [16, 8])
+    def test_forward_matches_oracle(self, rng, tile_h):
+        cfg = CFG_P._replace(tile_h=tile_h)
         g = build_inputs(rng, 200)
         view = make_view()
-        out = render(g, view, CFG_P)
-        pre = preprocess(g, view, CFG_P)
-        ref = render_reference(pre, g.opacities, CFG_P)
+        out = render(g, view, cfg)
+        pre = preprocess(g, view, cfg)
+        ref = render_reference(pre, g.opacities, cfg)
         np.testing.assert_allclose(np.asarray(out['images']),
                                    np.asarray(ref['images']), atol=3e-5)
         np.testing.assert_allclose(np.asarray(out['opacity']),
                                    np.asarray(ref['opacity']), atol=3e-5)
 
-    def test_gradients_match_oracle(self, rng):
+    @pytest.mark.parametrize('tile_h', [16, 8])
+    def test_gradients_match_oracle(self, rng, tile_h):
+        cfg = CFG_P._replace(tile_h=tile_h)
         g = build_inputs(rng, 80)
         view = make_view()
         tgt = jnp.asarray(rng.uniform(size=(48, 64, 3)).astype(np.float32))
@@ -42,11 +46,11 @@ class TestPallasKernel:
             return jnp.mean(jnp.abs(img - tgt)) + 0.1 * jnp.mean(out['opacity'])
 
         def prod_render(gg):
-            return render(gg, view, CFG_P)
+            return render(gg, view, cfg)
 
         def ref_render(gg):
-            pre = preprocess(gg, view, CFG_P)
-            return render_reference(pre, gg.opacities, CFG_P)
+            pre = preprocess(gg, view, cfg)
+            return render_reference(pre, gg.opacities, cfg)
 
         args = (g.means3d, g.scales, g.rotations, g.opacities, g.sh)
         gp = jax.grad(lambda *a: loss(prod_render, *a), argnums=(0, 1, 2, 3, 4))(*args)

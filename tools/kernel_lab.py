@@ -36,6 +36,8 @@ def main():
     ap.add_argument('--matprec', default=None)
     ap.add_argument('--grad_reduce', default=None,
                     help="'scatter' | 'sorted' pair-grad reduction A/B")
+    ap.add_argument('--tile_h', type=int, default=16,
+                    help='tile height in px (16 = CUDA parity; 8 = 16x8)')
     ap.add_argument('--sweep', action='store_true',
                     help='run the predefined knob sweep in one process')
     args = ap.parse_args()
@@ -94,7 +96,7 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
         colors=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)))
     W = H = args.size
     cfg = RasterConfig(image_width=W, image_height=H, pair_capacity=args.cap,
-                       chunk=chunk, use_pallas=True)
+                       chunk=chunk, use_pallas=True, tile_h=args.tile_h)
     Tv2c = tf.perspective_opencv(jnp.asarray(0.8), size=(W, H))
     tanf = jnp.asarray(np.tan(0.4), jnp.float32)
     eye = 4.0 * jnp.asarray([0.0, 0.0, -1.0])

@@ -194,6 +194,7 @@ def build_model_cfg(cfg, meta, image_size):
                         sh_degree=int(m['sh_degree']),
                         pair_capacity=int(cfg['raster']['pair_capacity']),
                         chunk=int(cfg['raster']['chunk']),
+                        tile_h=int(cfg['raster'].get('tile_h', 16)),
                         use_pallas=_use_pallas(cfg))
     return skcfg, rcfg
 
