@@ -21,12 +21,14 @@ def mesh():
 
 
 class TestShardedRender:
-    def test_matches_single_chip(self, mesh, rng):
+    @pytest.mark.parametrize('tile_h', [16, 8])
+    def test_matches_single_chip(self, mesh, rng, tile_h):
+        cfg = CFG._replace(tile_h=tile_h)
         g = build_inputs(rng, 256)  # 256 divisible by 4
         view = make_view(w=64, h=64)
-        ref = render(g, view, CFG)
+        ref = render(g, view, cfg)
 
-        fn = make_sharded_render(mesh, CFG)
+        fn = make_sharded_render(mesh, cfg)
         with mesh:
             out = fn(g, view)
         np.testing.assert_allclose(np.asarray(out['images']),
@@ -68,12 +70,14 @@ class TestShardedRender:
 
 
 class TestExchangeRender:
-    def test_all_to_all_matches_single_chip(self, mesh, rng):
+    @pytest.mark.parametrize('tile_h', [16, 8])
+    def test_all_to_all_matches_single_chip(self, mesh, rng, tile_h):
         from sk_gs_tpu.parallel.sharded_render import make_exchange_render
+        cfg = CFG._replace(tile_h=tile_h)
         g = build_inputs(rng, 256)
         view = make_view(w=64, h=64)
-        ref = render(g, view, CFG)
-        fn = make_exchange_render(mesh, CFG)
+        ref = render(g, view, cfg)
+        fn = make_exchange_render(mesh, cfg)
         with mesh:
             out = fn(g, view)
         assert not bool(out['overflow'])
