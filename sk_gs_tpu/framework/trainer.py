@@ -1012,6 +1012,18 @@ class SKGSTrainer:
                 cfg, st.model, k,
                 joint_steps=min(cfg.joint_init_steps, 2000),
                 distill_steps=min(cfg.joint_init_steps, 2000))
+            # loud failure beats a silent white render: a NaN that slips
+            # through the distill loop would otherwise train garbage for the
+            # whole 40k-step sk stage (n_vis=0 in metrics was the only tell)
+            import jax.numpy as jnp
+            for name in ('joints', 'global_tr', 'sk_deform'):
+                leaves = jax.tree.leaves(st.model.params.get(name))
+                bad = sum(int(jnp.sum(~jnp.isfinite(x))) for x in leaves)
+                if bad:
+                    raise FloatingPointError(
+                        f"init_skeleton produced {bad} non-finite values in "
+                        f"params['{name}'] — aborting before the sk stage "
+                        f"trains on a broken skeleton")
             st.skeleton_initialized = True
             log.info('step %d: skeleton initialized', step)
             if self.snapshot_fn is not None:

@@ -21,9 +21,14 @@ def identity(shape=(), dtype=jnp.float32) -> jnp.ndarray:
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Safe-normalize quaternions to unit length."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    """Safe-normalize quaternions to unit length.
+
+    GRADIENT-safe at q == 0 too: ``jnp.linalg.norm`` backward divides by the
+    norm (NaN at exactly 0). An exact zero never occurs at f64/f32 CPU
+    precision but DOES on TPU (flush-to-zero denormals + bf16-rounded
+    upstream matmuls) — one such row NaN-poisoned an entire sk-distill run."""
+    n = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + eps * eps)
+    return q / n
 
 
 def conjugate(q: jnp.ndarray) -> jnp.ndarray:
@@ -135,7 +140,8 @@ def from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 def to_axis_angle(q: jnp.ndarray, eps: float = 1e-9):
     """Quaternion -> (unit axis [...,3], angle [...])."""
     q = normalize(q)
-    sin_half = jnp.linalg.norm(q[..., :3], axis=-1)
+    # grad-safe at the identity (see normalize): plain norm NaNs backward
+    sin_half = jnp.sqrt(jnp.sum(jnp.square(q[..., :3]), axis=-1) + eps * eps)
     angle = 2.0 * jnp.arctan2(sin_half, q[..., 3])
     axis = q[..., :3] / jnp.maximum(sin_half, eps)[..., None]
     return axis, angle

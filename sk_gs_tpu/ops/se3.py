@@ -46,7 +46,11 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     q = quat.standardize(quat.normalize(q))
     u = q[..., :3]
     w = q[..., 3:4]
-    norm_u = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    # sqrt(sumsq + eps^2): finite BACKWARD at u == 0 (identity rotation) —
+    # plain norm's grad there is 0/0. Exact-identity inputs occur on TPU
+    # (flush-to-zero + bf16 matmul rounding upstream) where CPU f32 doesn't.
+    norm_u = jnp.sqrt(jnp.sum(jnp.square(u), axis=-1, keepdims=True)
+                      + _EPS * _EPS)
     theta = 2.0 * jnp.arctan2(norm_u, w)
     small = norm_u < _EPS
     # theta / sin(theta/2) ~ 2 + theta^2/12 near 0; guard div by zero

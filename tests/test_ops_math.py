@@ -66,6 +66,29 @@ class TestQuaternion:
 
 
 class TestSE3:
+    def test_grads_finite_at_identity(self):
+        """Backward through so3_log / se3_log / normalize at the EXACT
+        identity must be finite: jnp.linalg.norm's grad is 0/0 there.
+
+        Regression for the round-4 sk-distill collapse — TPU flush-to-zero
+        produced an exactly-identity relative transform inside cmp_t and one
+        NaN gradient poisoned joints/global_tr/sk_deform for the entire sk
+        stage (CPU f32 never hits the exact zero)."""
+        q_id = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+        for fn in (lambda q: jnp.sum(se3.so3_log(q)),
+                   lambda q: jnp.sum(quat.normalize(q)),
+                   lambda q: jnp.sum(quat.to_axis_angle(q)[1])):
+            g = jax.grad(fn)(q_id)
+            assert np.all(np.isfinite(np.asarray(g))), fn
+        T_id = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+        g = jax.grad(lambda T: jnp.sum(se3.se3_log(T)))(T_id)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # and the composed form the distill loss uses: log(inv(T) * T)
+        g = jax.grad(lambda T: jnp.sum(jnp.square(
+            se3.se3_log(se3.se3_mul(se3.se3_inv(T), T)))))(
+                jnp.asarray([0.1, -0.2, 0.3, 0.1, 0.2, -0.1, 0.95]))
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_so3_exp_log_roundtrip(self, rng):
         # log returns the principal branch, so keep |phi| < pi
         phi = rng.normal(size=(64, 3)).astype(np.float32)
