@@ -347,6 +347,10 @@ def init_skeleton(cfg: SKGSConfig, model: SKGSModel, key,
                   distill_steps: Optional[int] = None) -> SKGSModel:
     """Full sp->sk transition (init_skeleton, sk_gs.py:1006-1067)."""
     k1, k2 = jax.random.split(key)
+    # train_times is a numpy array right after a checkpoint resume (device
+    # arrays only appear once a jitted step has run); the distill scan
+    # indexes it with a TRACED frame id, which numpy cannot do
+    model = model._replace(train_times=jnp.asarray(model.train_times))
     # 1. cache sp transforms for all frames + freeze LBS weights
     sp_cache = compute_sp_transforms_all_frames(cfg, model.params,
                                                 model.train_times)
