@@ -951,6 +951,9 @@ def _blend_bwd(cfg, residuals, cotangents):
         kk = sort_gauss.shape[0]
         ids_sorted, perm = jax.lax.sort(
             (sort_gauss, jnp.arange(kk, dtype=jnp.int32)), num_keys=1)
+        # NOTE: gather-then-slice is the measured winner (A/B on v5e at
+        # 800^2/cap 2^19: 7.85 ms overhead vs 9.99 for slice-then-gather —
+        # narrow 9-lane rows gather worse than full 128-lane rows)
         gsum = jax.ops.segment_sum(gfeat[perm][:, :6 + ch], ids_sorted,
                                    num_segments=n_rows,
                                    indices_are_sorted=True)
