@@ -68,7 +68,8 @@ def main(argv=None):
     if args.pose_json:
         with open(args.pose_json) as f:
             pj = json.load(f)
-        key = pj['joint_deltas'] if isinstance(pj, dict) else pj
+        key = pj['joint_deltas'] if isinstance(pj, dict) else [
+            k['joint_deltas'] if isinstance(k, dict) else k for k in pj]
         poses = np.asarray(key, np.float32)
         if poses.ndim == 2:
             poses = poses[None]  # single keyframe
