@@ -1296,34 +1296,66 @@ class SKGSTrainer:
                 scene.times, self._bg)
             n = max(scene.num_views, 1)
             return {'PSNR': float(ps) / n, 'SSIM': float(ss) / n}
-        from .metrics import lpips, ms_ssim
-        sums: Dict[str, float] = {}
-        for i in range(scene.num_views):
-            img = self.render_view(scene, i, stage)
-            gt = scene.images[i]
-            if gt.shape[-1] == 4:
-                # dynamic-bg split keeps RGBA; composite against the static
-                # fallback bg (checker image / black) for deterministic eval
-                a = gt[..., 3:4]
-                gt = gt[..., :3] * a + self._bg * (1.0 - a)
-            vals = {'PSNR': float(psnr(img, gt)),
-                    'SSIM': float(ssim_fn(img[..., :3], gt[..., :3]))}
-            if full_metrics:
-                vals['MS-SSIM'] = float(ms_ssim(img[..., :3], gt[..., :3]))
-                img_np, gt_np = np.asarray(img[..., :3]), np.asarray(gt[..., :3])
-                vals['LPIPS (alex)'] = lpips(img_np, gt_np, net='alex')
-                vals['LPIPS (vgg)'] = lpips(img_np, gt_np, net='vgg')
-            for k, v in vals.items():
-                sums[k] = sums.get(k, 0.0) + v
-        out = {k: v / max(scene.num_views, 1) for k, v in sums.items()}
+        # full metrics in ONE device dispatch: the per-view host loop paid
+        # ~6 s/view through the TPU tunnel (per-metric syncs + per-LPIPS-call
+        # image uploads); the jitted scan renders + reduces all five metrics
+        # on device. LPIPS weights ride as ARGUMENTS — as closure constants
+        # the vgg net (~56 MB) would blow the tunnel's remote-compile limit.
+        from .lpips_jax import load_weights
+        pa, _ = load_weights('alex')
+        pv, _ = load_weights('vgg')
+        sums = self._eval_full_fn(stage)(
+            self.state.model, scene.view_tree(), scene.images, scene.times,
+            self._bg, pa, pv)
+        n = max(scene.num_views, 1)
+        out = {k: float(v) / n for k, v in sums.items()}
         out = {k: v for k, v in out.items() if np.isfinite(v)}
-        if full_metrics:
-            # label which LPIPS weights produced the columns: values from
-            # the 'untrained-fallback' path are deterministic and finite
-            # but NOT comparable to published LPIPS numbers (lpips_jax.py)
-            from .metrics import lpips_mode
-            out['LPIPS weights'] = lpips_mode('alex')
+        # label which LPIPS weights produced the columns: values from
+        # the 'untrained-fallback' path are deterministic and finite
+        # but NOT comparable to published LPIPS numbers (lpips_jax.py)
+        from .metrics import lpips_mode
+        out['LPIPS weights'] = lpips_mode('alex')
         return out
+
+    def _eval_full_fn(self, stage: str):
+        """One-dispatch full-metrics eval (PSNR/SSIM/MS-SSIM/LPIPS alex+vgg)."""
+        key = ('full', stage)
+        if key in self._eval_fns:
+            return self._eval_fns[key]
+        from ..models.losses import psnr as psnr_fn, ssim as ssim_fn
+        from .lpips_jax import _lpips_nchw
+        from .metrics import ms_ssim
+        render_one = self._render_eval_fn(stage).__wrapped__
+
+        @jax.jit
+        def fn(model: SKGSModel, views: ViewParams, images, times, bg,
+               params_alex, params_vgg):
+            def body(carry, xs):
+                view, gt, t = xs
+                img = render_one(model, view, t, bg)
+                if gt.shape[-1] == 4:
+                    a = gt[..., 3:4]
+                    gt = gt[..., :3] * a + bg * (1.0 - a)
+                i3, g3 = img[..., :3], gt[..., :3]
+                nchw = lambda x: jnp.transpose(x[None], (0, 3, 1, 2))
+                vals = {
+                    'PSNR': psnr_fn(img, gt),
+                    'SSIM': ssim_fn(i3, g3),
+                    'MS-SSIM': ms_ssim(i3, g3),
+                    'LPIPS (alex)': jnp.mean(_lpips_nchw(
+                        params_alex, nchw(i3), nchw(g3), 'alex')),
+                    'LPIPS (vgg)': jnp.mean(_lpips_nchw(
+                        params_vgg, nchw(i3), nchw(g3), 'vgg')),
+                }
+                return {k: carry[k] + v for k, v in vals.items()}, None
+
+            zero = {k: jnp.zeros(()) for k in
+                    ('PSNR', 'SSIM', 'MS-SSIM', 'LPIPS (alex)', 'LPIPS (vgg)')}
+            sums, _ = jax.lax.scan(body, zero, (views, images, times))
+            return sums
+
+        self._eval_fns[key] = fn
+        return fn
 
     def _eval_sums_fn(self, stage: str):
         """One-dispatch eval: a jitted lax.scan over ALL views that renders

@@ -68,6 +68,10 @@ def main(argv=None):
     model = trainer.state.model
 
     stage = skcfg.stage_at(trainer.state.step)
+    # warmup pass first: the reference's CUDA-event protocol (test.py:56-81)
+    # times renders on a built pipeline; including our one-time XLA compile
+    # (minutes through the tunnel) in FPS would be meaningless
+    trainer.evaluate(eval_scene, stage=stage, full_metrics=True)
     t0 = time.time()
     result = trainer.evaluate(eval_scene, stage=stage, full_metrics=True)
     n_views = eval_scene.num_views

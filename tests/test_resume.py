@@ -82,6 +82,35 @@ class TestResumeAcrossSkBoundary:
         np.testing.assert_allclose(float(ma['loss']), float(mb['loss']),
                                    rtol=1e-5)
 
+    def test_resume_directly_into_transition(self, tmp_path):
+        """Resume from a checkpoint saved just BEFORE sk_init, so the very
+        first resumed step runs init_skeleton with no jitted step having
+        executed yet. Regression: the restored model's train_times is a
+        NUMPY array on that path and the distill scan indexes it with a
+        traced frame id (round-4 crash at the production 40k resume)."""
+        synthetic = make_synthetic_scene(
+            seed=0, num_links=2, gauss_per_link=60, num_frames=8, h=48, w=48,
+            pair_capacity=2 ** 13, chunk=64)
+        cfg = tiny_cfg(8)
+        a = make_trainer(synthetic, cfg)
+        stop = cfg.stages['sk_init'][0]  # last sp step (stage_at is
+        # start-exclusive: sk_init covers (start, end])
+        for step in range(1, stop + 1):
+            a.train_step(step)
+        assert not a.state.skeleton_initialized
+        ckpt = CheckpointManager(tmp_path, interval=1)
+        ckpt.save(a.ckpt_state(), stop, force=True)
+
+        b = make_trainer(synthetic, cfg, model_seed=1)
+        loaded = ckpt.load(b.ckpt_state())
+        b.restore(loaded['state'], stop)
+        assert not b.state.skeleton_initialized
+        # numpy leaf, as after a real checkpoint load
+        assert isinstance(np.asarray(b.state.model.train_times), np.ndarray)
+        m = b.train_step(stop + 1)  # fires init_skeleton first
+        assert b.state.skeleton_initialized
+        assert np.isfinite(float(m['loss']))
+
     def test_legacy_checkpoint_flag_inference(self, tmp_path):
         """Checkpoints without flags (round-1 format) infer flags from the
         schedule position instead of re-running stage events."""
