@@ -57,10 +57,22 @@ def load_into_pytree(template: Any, path: Path) -> Any:
         key = '/'.join(_path_str(p) for p in pth)
         if key in data.files:
             arr = data[key]
-            if arr.shape != np.shape(leaf):
-                log.warning('ckpt %s: shape %s != %s, keeping template',
-                            key, arr.shape, np.shape(leaf))
-                leaves.append(leaf)
+            tshape = np.shape(leaf)
+            if arr.shape != tshape:
+                # capacity-bucketed checkpoints are SMALLER in the leading
+                # (Gaussian) axis than a full-capacity template: pad with
+                # zeros (bool pads False = dead rows). Anything else keeps
+                # the template (legacy behavior).
+                if (len(arr.shape) == len(tshape) and len(tshape) >= 1
+                        and arr.shape[0] < tshape[0]
+                        and arr.shape[1:] == tshape[1:]):
+                    pad = np.zeros((tshape[0] - arr.shape[0],)
+                                   + arr.shape[1:], arr.dtype)
+                    leaves.append(np.concatenate([arr, pad], axis=0))
+                else:
+                    log.warning('ckpt %s: shape %s != %s, keeping template',
+                                key, arr.shape, np.shape(leaf))
+                    leaves.append(leaf)
             else:
                 leaves.append(arr)
         else:

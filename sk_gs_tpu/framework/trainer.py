@@ -177,9 +177,24 @@ class SKGSTrainer:
                  clip_norm: float = 0.0,
                  batch_views: int = 1,
                  optimizer: str = 'adam',
-                 mesh=None):
+                 mesh=None,
+                 capacity_buckets: bool = False,
+                 capacity_check_interval: int = 500):
         self.cfg = cfg
         self.rcfg = rcfg
+        # capacity bucketing (models/capacity.py): with static padding every
+        # step pays for the FULL configured capacity even when few Gaussians
+        # are alive; bucketing compacts + resizes to track the population,
+        # re-jitting on (rare) bucket changes
+        self.capacity_buckets = capacity_buckets
+        self.capacity_check_interval = capacity_check_interval
+        self._max_capacity = model.capacity
+        self._max_pair_capacity = rcfg.pair_capacity
+        self._last_metrics: Optional[Dict[str, Any]] = None
+        self._cap_dirty = False
+        n_gs_ = mesh.shape['gs'] if mesh is not None else 1
+        self._cap_multiple = 1024 * n_gs_ // np.gcd(1024, n_gs_)
+        self._cap_min_bucket = 4096
         # multi-chip training: a jax Mesh with ('view', 'gs') axes. Views
         # data-parallel over 'view' (grad psum over ICI); per-Gaussian work
         # and the rasterizer sharded over 'gs' (all-to-all splat exchange to
@@ -778,6 +793,9 @@ class SKGSTrainer:
                 aux['psnr'] = psnr(img, image)
                 aux['radii'] = out['radii']
                 aux['overflow'] = out['overflow']
+                # pair high-water mark for capacity bucketing (0 under the
+                # exchange path, which has its own per-band capacities)
+                aux['num_pairs'] = out.get('num_pairs', jnp.zeros((), jnp.int32))
                 # training-health diagnostics (caught the round-3 white-
                 # render collapse: n_vis -> 0 while the loss stayed finite)
                 aux['n_vis'] = jnp.sum((out['radii'] > 0) & m.alive)
@@ -888,14 +906,17 @@ class SKGSTrainer:
             loss_sums = {k: jnp.sum(v) for k, v in aux_k['losses'].items()}
             psnr_sum = jnp.sum(aux_k['psnr'])
             ovf = jnp.any(aux_k['overflow'])
+            npairs = jnp.max(aux_k['num_pairs'])
             if par:
                 loss_sums = jax.lax.psum(loss_sums, ('view', 'gs'))
                 psnr_sum = jax.lax.psum(psnr_sum, 'view')
                 ovf = jax.lax.pmax(ovf.astype(jnp.int32),
                                    ('view', 'gs')) > 0
+                npairs = jax.lax.pmax(npairs, ('view', 'gs'))
             metrics = {'loss': total,
                        'psnr': psnr_sum / K_tot,
                        'overflow': ovf,
+                       'num_pairs': npairs,
                        'n_vis': jnp.max(aux_k['n_vis']),
                        'dxyz_max': jnp.max(aux_k['dxyz_max']),
                        **{k: v / K_tot for k, v in loss_sums.items()}}
@@ -1119,6 +1140,8 @@ class SKGSTrainer:
             params={**st.model.params, **gm2.params}, alive=gm2.alive,
             max_radii2d=gm2.max_radii2d, xyz_grad_accum=gm2.xyz_grad_accum,
             denom=gm2.denom)
+        # population changed: let the next step's bucket check re-evaluate
+        self._cap_dirty = True
 
     def _reset_opacity(self):
         st = self.state
@@ -1126,6 +1149,45 @@ class SKGSTrainer:
         gm2, st.opt_state = reset_opacity(gm, st.opt_state)
         st.model = st.model._replace(
             params={**st.model.params, **gm2.params})
+
+    def maybe_resize_capacity(self, step: int):
+        """Bucket the Gaussian capacity + pair capacity to the population
+        (models/capacity.py). Three scalar syncs every check interval."""
+        if not self.capacity_buckets:
+            return
+        if (step % self.capacity_check_interval != 0 and step != 1
+                and not self._cap_dirty):
+            return
+        self._cap_dirty = False
+        from ..models import capacity as cap_mod
+        st = self.state
+        n_alive = int(jnp.sum(st.model.alive))
+        new_cap = cap_mod.next_bucket(n_alive,
+                                      min_bucket=self._cap_min_bucket,
+                                      multiple=self._cap_multiple,
+                                      max_cap=self._max_capacity)
+        new_pair = self.rcfg.pair_capacity
+        lm = self._last_metrics
+        if lm is not None and 'num_pairs' in lm:
+            pairs = int(np.asarray(lm['num_pairs']))
+            if bool(np.asarray(lm.get('overflow', False))):
+                pairs = max(pairs * 2, self.rcfg.pair_capacity * 2)
+            new_pair = cap_mod.pair_bucket(pairs, chunk=self.rcfg.chunk,
+                                           max_cap=self._max_pair_capacity)
+        if new_cap == st.model.capacity and new_pair == self.rcfg.pair_capacity:
+            return
+        log.info('step %d: capacity %d -> %d (alive %d), pair_capacity '
+                 '%d -> %d', step, st.model.capacity, new_cap, n_alive,
+                 self.rcfg.pair_capacity, new_pair)
+        if new_cap != st.model.capacity:
+            st.model, st.opt_state = cap_mod.resize_model(
+                st.model, st.opt_state, new_cap)
+            # rows moved: rebuild the row-indexed smooth-loss KNN state
+            self.update_gs_knn(step, force=True)
+        self.rcfg = self.rcfg._replace(pair_capacity=new_pair)
+        # capacity + pair capacity are baked into every jitted program
+        self._step_fns.clear()
+        self._eval_fns.clear()
 
     def update_sh_degree(self, step: int):
         """SH-degree warmup restarts at sp_fix
@@ -1141,8 +1203,10 @@ class SKGSTrainer:
             self.state.model = m._replace(
                 active_sh_degree=m.active_sh_degree + 1)
 
-    def update_gs_knn(self, step: int):
-        if not check_interval_v2(step, *self.gs_knn_update_interval, -1) \
+    def update_gs_knn(self, step: int, force: bool = False):
+        if not force \
+                and not check_interval_v2(step, *self.gs_knn_update_interval,
+                                          -1) \
                 and step != 1:
             return
         from ..ops.knn import knn as knn_op
@@ -1273,6 +1337,8 @@ class SKGSTrainer:
                                          joint_depth=depth, joint_root=root)
 
         self.maybe_adaptive_control(step)
+        self._last_metrics = metrics
+        self.maybe_resize_capacity(step)
         st.step = step
         # metrics stay as device scalars — callers float() them only when
         # logging (each D2H fetch is a blocking tunnel round-trip)

@@ -345,7 +345,12 @@ def main(argv=None):
                           clip_norm=float(cfg['train'].get('clip_norm', 0.0)),
                           batch_views=int(cfg['train'].get('batch_views', 1)),
                           optimizer=cfg['train'].get('optimizer', 'adam'),
-                          mesh=mesh)
+                          mesh=mesh,
+                          capacity_buckets=bool(
+                              cfg['train'].get('capacity_buckets', False)),
+                          capacity_check_interval=int(
+                              cfg['train'].get('capacity_check_interval',
+                                               500)))
     ckpt = CheckpointManager(out_dir / 'checkpoints',
                              interval=int(cfg['train'].get('checkpoint_interval', 5000)))
     trainer.snapshot_fn = lambda name: ckpt.save(
