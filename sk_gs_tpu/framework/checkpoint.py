@@ -47,6 +47,19 @@ def save_pytree(tree: Any, path: Path):
     np.savez(path, **arrs)
 
 
+def _is_per_point_key(key: str) -> bool:
+    """True when a '/'-joined checkpoint key names a Gaussian-capacity
+    leaf (eligible for the bucketed zero-pad on load)."""
+    from ..models import capacity as cap_mod
+    leaf = key.rsplit('/', 1)[-1]
+    if leaf in cap_mod.PER_POINT_PARAMS or leaf in cap_mod.PER_POINT_FIELDS:
+        return True
+    # optimizer moments live under .../<moment>/<param-name>/... or map
+    # param names directly; check the second-to-last segment too
+    parts = key.split('/')
+    return any(p in cap_mod.PER_POINT_PARAMS for p in parts[-3:])
+
+
 def load_into_pytree(template: Any, path: Path) -> Any:
     """Load arrays into the structure of ``template`` (unknown keys ignored,
     missing keys keep template values)."""
@@ -61,14 +74,20 @@ def load_into_pytree(template: Any, path: Path) -> Any:
             if arr.shape != tshape:
                 # capacity-bucketed checkpoints are SMALLER in the leading
                 # (Gaussian) axis than a full-capacity template: pad with
-                # zeros (bool pads False = dead rows). Anything else keeps
-                # the template (legacy behavior).
-                if (len(arr.shape) == len(tshape) and len(tshape) >= 1
+                # zeros (bool pads False = dead rows). Restricted to known
+                # per-point leaf names — any OTHER mismatch (fewer frames,
+                # different superpoint count, …) is a config mismatch and
+                # keeps the template with a warning, not a silent pad.
+                if (_is_per_point_key(key)
+                        and len(arr.shape) == len(tshape) and len(tshape) >= 1
                         and arr.shape[0] < tshape[0]
                         and arr.shape[1:] == tshape[1:]):
                     pad = np.zeros((tshape[0] - arr.shape[0],)
                                    + arr.shape[1:], arr.dtype)
                     leaves.append(np.concatenate([arr, pad], axis=0))
+                    log.info('ckpt %s: zero-padded %d -> %d rows '
+                             '(capacity bucket)', key, arr.shape[0],
+                             tshape[0])
                 else:
                     log.warning('ckpt %s: shape %s != %s, keeping template',
                                 key, arr.shape, np.shape(leaf))

@@ -286,6 +286,7 @@ class SKGSTrainer:
             'sp_radius': deform_base, 'sp_weight': deform_base,
             'joint_pos': deform_base, 'global_tr': 0.0,
             'joints': deform_base * cfg.lr_joints,
+            'sk_feature': lr,  # reference group lr (sk_gs.py:609-610)
         }
         params = self.state.model.params
         tree = {}
@@ -323,6 +324,7 @@ class SKGSTrainer:
             'sp_radius': deform_base, 'sp_weight': deform_base,
             'joint_pos': deform_base, 'global_tr': 0.0,
             'joints': deform_base * cfg.lr_joints,
+            'sk_feature': lr,  # reference group lr (sk_gs.py:609-610)
         }
         tree = {}
         for name, leaf in self.state.model.params.items():
@@ -450,11 +452,9 @@ class SKGSTrainer:
             b = m.joint_parents[:, 0]
             joints = params['joint_pos'][a, b]
             sk_r, sk_d_rot, sk_d_scale = skeleton_net_apply(
-                params['sk_deform'], cfg.sk_net, joints, t)
-            if sk_r.shape[-1] == 4:
-                sk_r = quat.normalize(sk_r + sk_gs.ROT_BIAS)
-            else:
-                sk_r = se3.so3_exp(sk_r)
+                params['sk_deform'], cfg.sk_net,
+                sk_gs.skeleton_net_input(params, joints), t)
+            sk_r = sk_gs.sk_rot_activation(sk_r)
             sk_T = skeleton.kinematic_transforms(
                 joints, sk_r, sp_tr[m.joint_root], m.joint_parents,
                 m.joint_root)
@@ -1172,8 +1172,14 @@ class SKGSTrainer:
             pairs = int(np.asarray(lm['num_pairs']))
             if bool(np.asarray(lm.get('overflow', False))):
                 pairs = max(pairs * 2, self.rcfg.pair_capacity * 2)
-            new_pair = cap_mod.pair_bucket(pairs, chunk=self.rcfg.chunk,
-                                           max_cap=self._max_pair_capacity)
+            # pairs == 0 means the gs-sharded exchange path (which manages
+            # its own per-band capacities and reports no global high-water
+            # mark) — resizing on it would collapse pair_capacity to the
+            # min bucket and oscillate, silently dropping splat pairs
+            if pairs > 0:
+                new_pair = cap_mod.pair_bucket(
+                    pairs, chunk=self.rcfg.chunk,
+                    max_cap=self._max_pair_capacity)
         if new_cap == st.model.capacity and new_pair == self.rcfg.pair_capacity:
             return
         log.info('step %d: capacity %d -> %d (alive %d), pair_capacity '
@@ -1376,11 +1382,27 @@ class SKGSTrainer:
         n = max(scene.num_views, 1)
         out = {k: float(v) / n for k, v in sums.items()}
         out = {k: v for k, v in out.items() if np.isfinite(v)}
-        # label which LPIPS weights produced the columns: values from
-        # the 'untrained-fallback' path are deterministic and finite
-        # but NOT comparable to published LPIPS numbers (lpips_jax.py)
+        # self-defending artifact (results.json is consumed downstream):
+        # - uncalibrated LPIPS moves to an explicitly-named key and the
+        #   reference-protocol column is emitted as null — fallback values
+        #   (~1e-6) are NOT comparable to published LPIPS numbers
+        # - SSIM > 1 gets an in-artifact explanation (zero-padded conv
+        #   borders, reference F.conv2d parity); the border-cropped
+        #   column alongside is the provably-<=1 variant
         from .metrics import lpips_mode
-        out['LPIPS weights'] = lpips_mode('alex')
+        mode = lpips_mode('alex')
+        out['LPIPS weights'] = mode
+        if mode == 'untrained-fallback':
+            for net in ('alex', 'vgg'):
+                k = f'LPIPS ({net})'
+                if k in out:
+                    out[f'LPIPS ({net}) [uncalibrated]'] = out[k]
+                    out[k] = None
+        if out.get('SSIM', 0.0) > 1.0:
+            out['SSIM note'] = (
+                'SSIM > 1 comes from zero-padded conv borders on '
+                'near-perfect frames (matches the reference F.conv2d '
+                'padding); see SSIM (border-cropped) for the <=1 variant')
         return out
 
     def _eval_full_fn(self, stage: str):
@@ -1404,9 +1426,15 @@ class SKGSTrainer:
                     gt = gt[..., :3] * a + bg * (1.0 - a)
                 i3, g3 = img[..., :3], gt[..., :3]
                 nchw = lambda x: jnp.transpose(x[None], (0, 3, 1, 2))
+                # SSIM uses zero-padded convs (reference F.conv2d parity,
+                # image_metric.py) which can read >1 on near-perfect frames;
+                # the border-cropped column means only the fully-windowed
+                # interior of the SSIM map, so the value is provably <= 1
                 vals = {
                     'PSNR': psnr_fn(img, gt),
                     'SSIM': ssim_fn(i3, g3),
+                    'SSIM (border-cropped)': ssim_fn(i3, g3,
+                                                     crop_border=True),
                     'MS-SSIM': ms_ssim(i3, g3),
                     'LPIPS (alex)': jnp.mean(_lpips_nchw(
                         params_alex, nchw(i3), nchw(g3), 'alex')),
@@ -1416,7 +1444,8 @@ class SKGSTrainer:
                 return {k: carry[k] + v for k, v in vals.items()}, None
 
             zero = {k: jnp.zeros(()) for k in
-                    ('PSNR', 'SSIM', 'MS-SSIM', 'LPIPS (alex)', 'LPIPS (vgg)')}
+                    ('PSNR', 'SSIM', 'SSIM (border-cropped)', 'MS-SSIM',
+                     'LPIPS (alex)', 'LPIPS (vgg)')}
             sums, _ = jax.lax.scan(body, zero, (views, images, times))
             return sums
 

@@ -110,8 +110,15 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair."""
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         crop_border: bool = False) -> jnp.ndarray:
+    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair.
+
+    Default matches the reference (F.conv2d 'SAME' zero padding,
+    /root/reference/networks/losses/ssim.py) which can exceed 1.0 in the
+    padded border rows on near-perfect frames; ``crop_border=True`` means
+    only the valid (fully-windowed) interior of the SSIM map, which is
+    provably <= 1."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
     # NCHW for depthwise conv
@@ -137,6 +144,9 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / \
         ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    if crop_border:
+        b = window_size // 2
+        ssim_map = ssim_map[..., b:-b, b:-b]
     return jnp.mean(ssim_map)
 
 

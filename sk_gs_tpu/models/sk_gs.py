@@ -41,6 +41,16 @@ class SKGSConfig(NamedTuple):
     num_superpoints: int = 512     # M capacity
     num_knn: int = 5
     hyper_dim: int = 8
+    # rotation head parameterization (sk_gs.py:414-418): 'quaternion' = 4-dim
+    # head + identity bias + normalize; 'lie' = 3-dim axis-angle head through
+    # so3_exp (identity comes free from the tiny-std head init).
+    # sk_net.out_dims[0] must match (train.py derives it).
+    which_rotation: str = 'quaternion'
+    # per-superpoint learned features concatenated to the skeleton-net
+    # positional input (sk_feature, sk_gs.py:516-521,1073); 0 = off (the
+    # reference's shipped configs). sk_net.p_in_channels must be
+    # 3 + sk_feature_dim (train.py derives it).
+    sk_feature_dim: int = 0
     LBS_method: str = 'W'
     warp_method: str = 'LBS'
     sep_rot: bool = False
@@ -172,6 +182,11 @@ def init_model(key, cfg: SKGSConfig, base: GaussianModel,
     if cfg.use_canonical_net and cfg.canonical_time_id >= 0:
         params['canonical'] = deform_net_init(keys[3], cfg.net)
     params['sk_deform'] = skeleton_net_init(keys[4], cfg.sk_net)
+    if cfg.sk_feature_dim > 0:
+        # randn init (sk_gs.py:518); zeroed on superpoint-count changes in
+        # the reference (:1589-1590) — our M is capacity-padded, rows ride
+        params['sk_feature'] = jax.random.normal(
+            keys[5], (m, cfg.sk_feature_dim))
 
     return SKGSModel(
         params=params,
@@ -195,6 +210,26 @@ def init_model(key, cfg: SKGSConfig, base: GaussianModel,
 
 
 # ---------------------------------------------------------------- helpers
+
+def skeleton_net_input(params: Dict[str, Any], joints: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Skeleton-net positional input: joints, plus the learned
+    per-superpoint features when enabled (kinematic, sk_gs.py:1073)."""
+    if 'sk_feature' in params:
+        return jnp.concatenate([joints, params['sk_feature']], axis=-1)
+    return joints
+
+
+def sk_rot_activation(sk_r: jnp.ndarray, biased: bool = False) -> jnp.ndarray:
+    """Raw rotation head -> unit quaternion. 4-dim head: +identity bias then
+    normalize (quaternion mode, sk_gs.py:1076-1077); 3-dim head: axis-angle
+    through so3_exp (which_rotation='lie', :414-416 to_SO3 = SO3.exp).
+    ``biased`` marks values already carrying the identity bias (sk_cache
+    rows are stored post-bias)."""
+    if sk_r.shape[-1] == 4:
+        return quat.normalize(sk_r if biased else sk_r + ROT_BIAS)
+    return se3.so3_exp(sk_r)
+
 
 def smooth_scale(cfg: SKGSConfig, step: int) -> float:
     """Stage-relative time-noise anneal (get_smooth_scale, sk_gs.py:723-739).
@@ -358,20 +393,18 @@ def sk_stage(cfg: SKGSConfig, model: SKGSModel, points, t, time_id=None,
         sk_r = row[:, :dims[0]]
         d_rot = row[:, dims[0]:dims[0] + dims[1]]
         d_scale = row[:, dims[0] + dims[1]:]
-        if sk_r.shape[-1] == 4:
-            sk_r = quat.normalize(sk_r)  # already biased when cached
-        else:
-            sk_r = se3.so3_exp(sk_r)
+        sk_r = sk_rot_activation(sk_r, biased=True)
         cache_row = row
     else:
-        x_in = joints
-        sk_r, d_rot, d_scale = skeleton_net_apply(params['sk_deform'],
-                                                  cfg.sk_net, x_in, t)
-        if sk_r.shape[-1] == 4:
-            sk_r = quat.normalize(sk_r + ROT_BIAS)
-        else:
-            sk_r = se3.so3_exp(sk_r)
-        cache_row = jnp.concatenate([sk_r, d_rot, d_scale], axis=-1)
+        x_in = skeleton_net_input(params, joints)
+        sk_r_raw, d_rot, d_scale = skeleton_net_apply(params['sk_deform'],
+                                                      cfg.sk_net, x_in, t)
+        sk_r = sk_rot_activation(sk_r_raw)
+        # cache stores what the reference caches (kinematic, sk_gs.py:1078-
+        # 1080): the normalized quaternion in quaternion mode, the RAW
+        # axis-angle in lie mode (activation re-applied on the read path)
+        cached_r = sk_r if sk_r_raw.shape[-1] == 4 else sk_r_raw
+        cache_row = jnp.concatenate([cached_r, d_rot, d_scale], axis=-1)
 
     sk_T = skeleton.kinematic_transforms(joints, sk_r, g_tr,
                                          model.joint_parents, model.joint_root,

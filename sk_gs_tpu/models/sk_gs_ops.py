@@ -289,7 +289,7 @@ def distill_sk_deform(cfg: SKGSConfig, model: SKGSModel, key,
             sp_w, sp_k, cfg.num_superpoints)
 
     train_names = ['sk_deform', 'joints', 'global_tr']
-    for n in ('sp_radius', 'sp_weight', 'sp_W'):
+    for n in ('sp_radius', 'sp_weight', 'sp_W', 'sk_feature'):
         if n in model.params:
             train_names.append(n)
 

@@ -52,10 +52,10 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     norm_u = jnp.sqrt(jnp.sum(jnp.square(u), axis=-1, keepdims=True)
                       + _EPS * _EPS)
     theta = 2.0 * jnp.arctan2(norm_u, w)
-    small = norm_u < _EPS
-    # theta / sin(theta/2) ~ 2 + theta^2/12 near 0; guard div by zero
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5), theta / jnp.maximum(norm_u, _EPS))
-    return u * scale
+    # No Taylor branch needed: norm_u >= _EPS by construction, and the eps
+    # inflation cancels in theta/norm_u (theta -> 2*atan2(eps, 1) ~ 2*eps at
+    # the identity, so theta/norm_u -> 2 exactly where the series would).
+    return u * (theta / norm_u)
 
 
 def so3_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:

@@ -47,6 +47,7 @@ def init_distributed(coordinator: Optional[str] = None,
                 return v
         return None
 
+    explicit_coordinator = coordinator is not None
     if coordinator is None:
         coordinator = _env('JAX_COORDINATOR_ADDRESS')
         if coordinator is None and _env('MASTER_ADDR') is not None:
@@ -63,6 +64,19 @@ def init_distributed(coordinator: Optional[str] = None,
     # WORLD_SIZE=1 (common under torchrun/SLURM wrappers) must not trigger a
     # coordinator connect that can hang a single-process run.
     multi = (num_processes or 1) > 1
+    if explicit_coordinator and not multi:
+        # An explicitly passed coordinator with no process count would
+        # silently train uncoordinated replicas — fail loudly instead.
+        raise ValueError(
+            f'coordinator {coordinator!r} was passed explicitly but '
+            f'num_processes is {num_processes or 1}; set num_processes>1 '
+            f'(or WORLD_SIZE/JAX_NUM_PROCESSES) for a multi-host launch')
+    if coordinator is not None and not multi and not explicit_coordinator:
+        import warnings
+        warnings.warn(
+            f'coordinator {coordinator!r} found in env but process count is '
+            f'{num_processes or 1}; skipping jax.distributed.initialize — '
+            f'set WORLD_SIZE/JAX_NUM_PROCESSES>1 for a multi-host launch')
     if multi and not _DIST_INITIALIZED:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,

@@ -183,3 +183,107 @@ class TestSkCacheInterpolate:
         got = sk_gs.sk_stage(cfg_tti, model, pts, t_mid, time_id=None,
                              training=False)
         assert np.isfinite(np.asarray(got.d_xyz)).all()
+
+
+class TestModelKnobs:
+    """which_rotation='lie' + sk_feature (sk_gs.py:414-418, 516-521, 1073)."""
+
+    def _model(self, rng, cfg):
+        pts = rng.uniform(-1, 1, size=(40, 3)).astype(np.float32)
+        cols = rng.uniform(size=(40, 3)).astype(np.float32)
+        base = init_from_pcd(pts, cols, cfg.gauss)
+        times = np.linspace(0, 1, cfg.num_frames).astype(np.float32)
+        return sk_gs.init_model(jax.random.PRNGKey(0), cfg, base, times)
+
+    def test_lie_rotation_heads(self, rng):
+        cfg = small_cfg()._replace(
+            which_rotation='lie',
+            sk_net=SkeletonNetConfig(out_dims=(3, 4, 3), width=32, depth=2,
+                                     skips=(1,)))
+        model = self._model(rng, cfg)
+        out = sk_gs.sk_stage(cfg, model, model.params['xyz'],
+                             jnp.asarray(0.3), time_id=1)
+        assert out.aux['cache_row'].shape == (8, 10)  # 3 + 4 + 3
+        # skT carries unit quaternions built via so3_exp
+        q = out.aux['skT'][:, 3:7]
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(q * q, -1)), 1.0, atol=1e-5)
+
+        # finite grads at the (identity) tiny-std init — the axis-angle
+        # head sits exactly at the so3_exp singularity
+        def loss(params):
+            m = model._replace(params=params)
+            o = sk_gs.sk_stage(cfg, m, m.params['xyz'], jnp.asarray(0.3),
+                               time_id=1)
+            return jnp.sum(jnp.square(o.d_xyz)) \
+                + jnp.sum(jnp.square(o.aux['skT']))
+
+        g = jax.grad(loss)(model.params)
+        flat = jax.tree.leaves(jax.tree.map(
+            lambda x: jnp.all(jnp.isfinite(x)), g))
+        assert all(bool(v) for v in flat)
+
+    def test_lie_cache_interpolation_round_trip(self, rng):
+        cfg = small_cfg()._replace(
+            which_rotation='lie',
+            sk_net=SkeletonNetConfig(out_dims=(3, 4, 3), width=32, depth=2,
+                                     skips=(1,)))
+        model = self._model(rng, cfg)
+        pts = model.params['xyz']
+        rows = []
+        for tid in range(cfg.num_frames):
+            out = sk_gs.sk_stage(cfg, model, pts, model.train_times[tid],
+                                 time_id=tid, training=True)
+            rows.append(out.aux['cache_row'])
+        model = model._replace(sk_cache=jnp.stack(rows))
+        cfg_tti = cfg._replace(test_time_interpolate=True)
+        for tid in (0, cfg.num_frames - 1):
+            t = model.train_times[tid]
+            ref = sk_gs.sk_stage(cfg, model, pts, t, time_id=None,
+                                 training=True)
+            got = sk_gs.sk_stage(cfg_tti, model, pts, t, time_id=None,
+                                 training=False)
+            np.testing.assert_allclose(np.asarray(got.d_xyz),
+                                       np.asarray(ref.d_xyz), atol=1e-5)
+
+    def test_sk_feature_changes_output(self, rng):
+        dim = 4
+        cfg = small_cfg()._replace(
+            sk_feature_dim=dim,
+            sk_net=SkeletonNetConfig(out_dims=(4, 4, 3), width=32, depth=2,
+                                     skips=(1,), p_in_channels=3 + dim))
+        model = self._model(rng, cfg)
+        assert model.params['sk_feature'].shape == (8, dim)
+        out0 = sk_gs.sk_stage(cfg, model, model.params['xyz'],
+                              jnp.asarray(0.3), time_id=1)
+        # perturb the features: the skeleton-net input changes, so the
+        # net output (and the warp) must change
+        p2 = dict(model.params)
+        p2['sk_feature'] = p2['sk_feature'] + 1.0
+        m2 = model._replace(params=p2)
+        out1 = sk_gs.sk_stage(cfg, m2, m2.params['xyz'],
+                              jnp.asarray(0.3), time_id=1)
+        assert float(jnp.abs(out1.aux['cache_row']
+                             - out0.aux['cache_row']).max()) > 0
+
+        # features receive gradient through the net
+        def loss(params):
+            m = model._replace(params=params)
+            o = sk_gs.sk_stage(cfg, m, m.params['xyz'], jnp.asarray(0.3),
+                               time_id=1)
+            return jnp.sum(jnp.square(o.aux['cache_row']))
+
+        g = jax.grad(loss)(model.params)
+        assert float(jnp.abs(g['sk_feature']).sum()) > 0
+
+    def test_sk_feature_distill_and_init(self, rng):
+        dim = 2
+        cfg = small_cfg()._replace(
+            sk_feature_dim=dim, which_rotation='lie',
+            sk_net=SkeletonNetConfig(out_dims=(3, 4, 3), width=32, depth=2,
+                                     skips=(1,), p_in_channels=3 + dim))
+        model = self._model(rng, cfg)
+        model2 = sk_gs_ops.init_skeleton(cfg, model, jax.random.PRNGKey(3),
+                                         joint_steps=5, distill_steps=5)
+        assert jnp.isfinite(model2.params['joints']).all()
+        assert jnp.isfinite(model2.params['sk_feature']).all()

@@ -150,6 +150,11 @@ def build_model_cfg(cfg, meta, image_size):
         sep_rot=bool(m.get('sep_rot', False)),
         compute_dtype=cdt)
     sk_net_skips = (max(1, int(m['net'].get('depth', 8)) // 2),)
+    # rotation-head dim + learned skeleton features (sk_gs.py:414-418,
+    # 516-521): out_dims[0] and p_in_channels follow the two knobs
+    which_rotation = str(m.get('which_rotation', 'quaternion'))
+    r_dim = {'lie': 3, 'quaternion': 4}[which_rotation]
+    sk_feature_dim = int(m.get('sk_feature_dim', 0))
     skcfg = SKGSConfig(
         gauss=GaussianConfig(capacity=int(m['capacity']),
                              sh_degree=int(m['sh_degree']),
@@ -157,9 +162,12 @@ def build_model_cfg(cfg, meta, image_size):
                              **gauss_ac),
         net=net,
         sk_net=SkeletonNetConfig(
-            out_dims=(4, 4, 3), width=int(m['net'].get('width', 256)),
+            out_dims=(r_dim, 4, 3), width=int(m['net'].get('width', 256)),
             depth=int(m['net'].get('depth', 8)), skips=sk_net_skips,
+            p_in_channels=3 + sk_feature_dim,
             compute_dtype=cdt),
+        which_rotation=which_rotation,
+        sk_feature_dim=sk_feature_dim,
         train_schedule=sched,
         num_superpoints=int(m['num_superpoints']),
         num_knn=int(m['num_knn']),
@@ -407,6 +415,9 @@ def main(argv=None):
                 logging.warning(
                     'pair capacity overflow at step %d — splats are being '
                     'dropped; raise raster.pair_capacity', step)
+                # react at the next step's bucket check, not the next
+                # capacity_check_interval boundary (up to 500 steps away)
+                trainer._cap_dirty = True
             extra = {k: round(float(v), 6) for k, v in metrics.items()
                      if k in ('n_vis', 'dxyz_max', 'rgb', 'ssim', 'smooth',
                               'sparse', 'c_net', 'cmp_p')}
