@@ -179,7 +179,9 @@ class SKGSTrainer:
                  optimizer: str = 'adam',
                  mesh=None,
                  capacity_buckets: bool = False,
-                 capacity_check_interval: int = 500):
+                 capacity_check_interval: int = 500,
+                 capacity_min_bucket: int = 4096,
+                 capacity_multiple: Optional[int] = None):
         self.cfg = cfg
         self.rcfg = rcfg
         # capacity bucketing (models/capacity.py): with static padding every
@@ -193,8 +195,14 @@ class SKGSTrainer:
         self._last_metrics: Optional[Dict[str, Any]] = None
         self._cap_dirty = False
         n_gs_ = mesh.shape['gs'] if mesh is not None else 1
-        self._cap_multiple = 1024 * n_gs_ // np.gcd(1024, n_gs_)
-        self._cap_min_bucket = 4096
+        if capacity_multiple is None:
+            # DMA-friendly row counts that also divide the mesh 'gs' axis
+            capacity_multiple = 1024 * n_gs_ // np.gcd(1024, n_gs_)
+        elif capacity_multiple % n_gs_ != 0:
+            raise ValueError(f'capacity_multiple {capacity_multiple} not '
+                             f'divisible by mesh gs axis {n_gs_}')
+        self._cap_multiple = capacity_multiple
+        self._cap_min_bucket = capacity_min_bucket
         # multi-chip training: a jax Mesh with ('view', 'gs') axes. Views
         # data-parallel over 'view' (grad psum over ICI); per-Gaussian work
         # and the rasterizer sharded over 'gs' (all-to-all splat exchange to
@@ -232,6 +240,10 @@ class SKGSTrainer:
         # optimizer registry (make_optimizer, my_ext/optimizer/build.py:85
         # parity); surgery helpers work on any registered state shape
         self.opt_init, self.opt_update = optim.make_optimizer(optimizer)
+        # private copy: the jitted step DONATES model/opt buffers, which
+        # would delete the caller's arrays (e.g. one init model shared by
+        # two trainers in parity tests)
+        model = jax.tree.map(jnp.array, model)
         self.state = TrainerState(
             model=model, opt_state=self.opt_init(model.params),
             key=jax.random.PRNGKey(seed),
@@ -940,7 +952,11 @@ class SKGSTrainer:
                 'denom': model.denom + n_seen,
             }
 
-        @partial(jax.jit, static_argnames=('stage', 'batched'))
+        # donate model + optimizer state: in-place buffer reuse halves the
+        # peak HBM of the step (~700 MB at full capacity) and avoids
+        # alloc/free churn per step
+        @partial(jax.jit, static_argnames=('stage', 'batched'),
+                 donate_argnums=(0, 1))
         def train_step(model: SKGSModel, opt_state, scene: Scene,
                        sched, key, bg, gs_knn_index, knn_perm, knn_sorted,
                        stage: str, batched: bool):

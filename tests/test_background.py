@@ -49,6 +49,7 @@ class TestBackgroundHelpers:
 
 class TestDynamicBgTraining:
     @pytest.mark.parametrize('bg_type', ['random', 'random2', 'checker'])
+    @pytest.mark.integration
     def test_static_steps_run_with_rgba_scene(self, bg_type):
         from sk_gs_tpu.data.synthetic import make_synthetic_scene
         from sk_gs_tpu.framework.trainer import SKGSTrainer

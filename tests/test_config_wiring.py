@@ -51,6 +51,7 @@ def test_unknown_adaptive_key_rejected(tmp_path):
         build_model_cfg(make_config(str(p), []), Meta, (64, 64))
 
 
+@pytest.mark.integration
 def test_trainer_with_adan_and_ti_sampler():
     """A non-default optimizer + sampler reachable through the trainer
     (previously inert surfaces)."""

@@ -17,6 +17,7 @@ actually GROWS the population under the default threshold.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sk_gs_tpu.models.gaussian_splatting import (GaussianConfig,
                                                  accumulate_stats,
@@ -36,6 +37,7 @@ def test_accumulate_stats_ndc_units(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.integration
 def test_trainer_densifies_under_default_threshold():
     """A short real trainer run at the DEFAULT densify_grad_threshold must
     add Gaussians (the collapsed run had 2000 -> 109 -> 0 because the

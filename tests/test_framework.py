@@ -100,6 +100,7 @@ class TestParallel:
 
 
 class TestTrainerResume:
+    @pytest.mark.integration
     def test_checkpoint_roundtrip_mid_training(self, tmp_path, rng):
         """Save at step k, reload into a fresh trainer, continue — states
         must match (reference --resume semantics)."""

@@ -53,9 +53,14 @@ def _build(synthetic, mesh, batch_views):
 
 
 def _sync(dst, src):
-    """Copy the full trainer state (device arrays are immutable: shared)."""
+    """Copy the full trainer state. model/opt buffers must be DEEP copies:
+    the jitted step donates them, so sharing would let src's next step
+    delete dst's arrays."""
     for f in dataclasses.fields(src.state):
-        setattr(dst.state, f.name, getattr(src.state, f.name))
+        v = getattr(src.state, f.name)
+        if f.name in ('model', 'opt_state'):
+            v = jax.tree.map(jnp.array, v)
+        setattr(dst.state, f.name, v)
 
 
 class TestParallelParity:

@@ -92,6 +92,7 @@ class TestPreprocess:
 
 class TestBlendVsOracle:
     @pytest.mark.parametrize('tile_h', [16, 8])
+    @pytest.mark.integration
     def test_forward_matches_oracle(self, rng, tile_h):
         CFG = globals()['CFG']._replace(tile_h=tile_h)
         g = build_inputs(rng, 300)
@@ -105,6 +106,7 @@ class TestBlendVsOracle:
         np.testing.assert_allclose(np.asarray(out['opacity']),
                                    np.asarray(ref['opacity']), atol=2e-5)
 
+    @pytest.mark.integration
     def test_gradients_match_oracle(self, rng):
         g = build_inputs(rng, 120)
         view = make_view()

@@ -22,6 +22,7 @@ def mesh():
 
 class TestShardedRender:
     @pytest.mark.parametrize('tile_h', [16, 8])
+    @pytest.mark.integration
     def test_matches_single_chip(self, mesh, rng, tile_h):
         cfg = CFG._replace(tile_h=tile_h)
         g = build_inputs(rng, 256)  # 256 divisible by 4
@@ -36,6 +37,7 @@ class TestShardedRender:
         np.testing.assert_allclose(np.asarray(out['opacity']),
                                    np.asarray(ref['opacity']), atol=3e-5)
 
+    @pytest.mark.integration
     def test_gradients_match_single_chip(self, mesh, rng):
         g = build_inputs(rng, 128)
         view = make_view(w=64, h=64)
@@ -86,6 +88,7 @@ class TestExchangeRender:
         np.testing.assert_allclose(np.asarray(out['opacity']),
                                    np.asarray(ref['opacity']), atol=3e-5)
 
+    @pytest.mark.integration
     def test_all_to_all_gradients(self, mesh, rng):
         from sk_gs_tpu.parallel.sharded_render import make_exchange_render
         g = build_inputs(rng, 128)

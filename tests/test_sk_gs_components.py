@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sk_gs_tpu.models import skeleton, superpoints
 from sk_gs_tpu.ops import quaternion as quat
@@ -193,6 +194,7 @@ class TestMixedPrecision:
     my_ext/framework.py:264-306): nets compute in bf16, return f32, stay
     close to the f32 path, and train with finite grads."""
 
+    @pytest.mark.integration
     def test_deform_net_bf16_close_and_f32_out(self):
         import jax
         import jax.numpy as jnp

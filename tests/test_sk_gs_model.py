@@ -51,6 +51,7 @@ class TestStageForward:
         assert out.d_xyz.shape == (64, 3)
         assert float(jnp.abs(out.d_xyz).max()) < 0.1
 
+    @pytest.mark.integration
     def test_sp_stage_shapes_and_grads(self, model_and_cfg):
         model, cfg = model_and_cfg
         out = sk_gs.forward_deltas(cfg, model, jnp.asarray(0.3), 'sp')
@@ -276,6 +277,7 @@ class TestModelKnobs:
         g = jax.grad(loss)(model.params)
         assert float(jnp.abs(g['sk_feature']).sum()) > 0
 
+    @pytest.mark.integration
     def test_sk_feature_distill_and_init(self, rng):
         dim = 2
         cfg = small_cfg()._replace(

@@ -20,6 +20,7 @@ CFG_P = CFG._replace(use_pallas=True, chunk=64)
 
 class TestPallasKernel:
     @pytest.mark.parametrize('tile_h', [16, 8])
+    @pytest.mark.integration
     def test_forward_matches_oracle(self, rng, tile_h):
         cfg = CFG_P._replace(tile_h=tile_h)
         g = build_inputs(rng, 200)
@@ -33,6 +34,7 @@ class TestPallasKernel:
                                    np.asarray(ref['opacity']), atol=3e-5)
 
     @pytest.mark.parametrize('tile_h', [16, 8])
+    @pytest.mark.integration
     def test_gradients_match_oracle(self, rng, tile_h):
         cfg = CFG_P._replace(tile_h=tile_h)
         g = build_inputs(rng, 80)

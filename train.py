@@ -24,16 +24,21 @@ def build_scene(cfg):
         from sk_gs_tpu.data.synthetic import make_synthetic_scene
         d = cfg['dataset']
         hw = int(d.get('image_size', 64))
+        # GT generation renders the chain gaussians only: a small pair
+        # budget avoids compiling a second (huge) training-capacity binning
+        # program just for data synthesis. Dense 'detail' scenes (tens of
+        # thousands of GT splats) need more; gt_pair_capacity overrides.
+        gt_pairs = int(d.get('gt_pair_capacity',
+                             min(int(cfg['raster']['pair_capacity']),
+                                 2 ** 17)))
         scene, meta, gt = make_synthetic_scene(
             seed=int(cfg['train'].get('seed', 0)),
             num_links=int(d.get('num_links', 3)),
             gauss_per_link=int(d.get('gauss_per_link', 120)),
             num_frames=int(d.get('num_frames', 24)),
             h=hw, w=hw, background=d.get('background', 'white'),
-            # GT generation renders ~10^3 chain Gaussians: a 2^17 pair
-            # budget is ample and avoids compiling a second (huge)
-            # training-capacity binning program just for data synthesis
-            pair_capacity=min(int(cfg['raster']['pair_capacity']), 2 ** 17),
+            detail=bool(d.get('detail', False)),
+            pair_capacity=gt_pairs,
             chunk=int(cfg['raster']['chunk']),
             use_pallas=_use_pallas(cfg),
             cache_dir=d.get('root'))
@@ -382,6 +387,16 @@ def main(argv=None):
     t0 = time.time()
     metrics_log = (out_dir / 'metrics.jsonl').open('a')
     vis_interval = int(cfg['train'].get('vis_interval', 0))
+    # dispatch-queue depth control: keep a BOUNDED pipeline by blocking on
+    # the step `depth` dispatches behind (never draining). Measured on the
+    # axon tunnel (tools/host_overhead.py): unbounded async sustains
+    # 21.8 ms/step over short horizons but the round-4 production run
+    # degraded to ~104 ms/step over thousands of queued steps; a full
+    # per-step sync costs ~+30 ms. depth 0 = classic unbounded async.
+    from collections import deque
+    sync_depth = int(cfg['train'].get('dispatch_sync_depth', 8))
+    _pending = deque()
+    _win_t0, _win_step = time.time(), start - 1
     # jax.profiler window (TPU equivalent of the reference's manual
     # TimeWatcher phase timing, my_ext/utils/time_estimator.py:70)
     prof_start = start + 20 if args.profile else -1
@@ -391,12 +406,21 @@ def main(argv=None):
             jax.profiler.start_trace(str(out_dir / 'profile'))
             logging.info('profiler trace started (%d steps)', args.profile)
         metrics = trainer.train_step(step)
+        if sync_depth:
+            _pending.append(metrics['loss'])
+            if len(_pending) > sync_depth:
+                jax.block_until_ready(_pending.popleft())
         if step == prof_end:
             jax.block_until_ready(trainer.state.model.params['xyz'])
             jax.profiler.stop_trace()
             logging.info('profiler trace written to %s', out_dir / 'profile')
         if step % log_interval == 0 or step == total:
-            dt = (time.time() - t0) / max(step - start + 1, 1)
+            # WINDOWED step rate (time since the last log line): the
+            # round-4 artifact logged a cumulative average, which buries
+            # steady-state speed under compile/eval pauses from hours ago
+            now = time.time()
+            dt = (now - _win_t0) / max(step - _win_step, 1)
+            _win_t0, _win_step = now, step
             loss_f, psnr_f = float(metrics['loss']), float(metrics['psnr'])
             eta = dt * (total - step)
             logging.info('step %d/%d stage=%s loss=%.4f psnr=%.2f '
