@@ -66,13 +66,27 @@ def check_interval_v2(step: int, interval: int, start: int, end: int,
 # ---------------------------------------------------------------- loss
 
 def masked_mean(x, mask):
-    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    """Mean of x over the elements where (broadcast) mask is set.
+
+    The capacity-invariant translation of the reference's plain .mean():
+    reference tensors hold only the TRUE rows, so means divide by the live
+    count — dividing by the padded capacity instead makes every masked
+    loss scale with alive/capacity, which shifts effective loss weights
+    at every capacity-bucket change (the root cause of the round-5
+    from-scratch bucketed divergence at the init_fix->init boundary)."""
+    mask_b = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return jnp.sum(x * mask_b) / jnp.maximum(jnp.sum(mask_b), 1.0)
 
 
-def weight_sparsity_loss(w):
-    """Entropy sparsity on LBS weights (loss_weight_sparsity, sk_gs.py:1339)."""
+def weight_sparsity_loss(w, mask=None):
+    """Entropy sparsity on LBS weights (loss_weight_sparsity, sk_gs.py:1339).
+    ``mask``: alive rows — dead capacity rows carry softmax junk and must
+    not dilute (or pollute) the mean."""
     eps = 1e-7
-    return -jnp.mean(w * jnp.log(w + eps) + (1 - w) * jnp.log(1 - w + eps))
+    ent = -(w * jnp.log(w + eps) + (1 - w) * jnp.log(1 - w + eps))
+    if mask is None:
+        return jnp.mean(ent)
+    return masked_mean(ent, mask[:, None])
 
 
 def weight_smooth_loss(w, knn_index):
@@ -81,19 +95,24 @@ def weight_smooth_loss(w, knn_index):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
-def _smooth_loss_sorted(w, knn_index, perm, sorted_ids):
-    return weight_smooth_loss(w, knn_index)
+def _smooth_loss_sorted(w, knn_index, perm, sorted_ids, mask):
+    return masked_mean(jnp.abs(w[:, None] - w[knn_index]),
+                       mask[:, None, None])
 
 
-def _smooth_sorted_fwd(w, knn_index, perm, sorted_ids):
-    diff = w[:, None] - w[knn_index]                       # [N, J, K]
-    return jnp.mean(jnp.abs(diff)), (diff, perm, sorted_ids)
+def _smooth_sorted_fwd(w, knn_index, perm, sorted_ids, mask):
+    # alive-row mask folded into the diffs: dead rows contribute exactly 0
+    # to the value AND the backward (sign(0) == 0), and the denominator is
+    # the live element count — capacity-bucket invariant
+    diff = (w[:, None] - w[knn_index]) * mask[:, None, None]  # [N, J, K]
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * (diff.shape[1] * diff.shape[2])
+    return jnp.sum(jnp.abs(diff)) / denom, (diff, perm, sorted_ids, denom)
 
 
 def _smooth_sorted_bwd(res, g):
-    diff, perm, sorted_ids = res
+    diff, perm, sorted_ids, denom = res
     n, j, k = diff.shape
-    s = jnp.sign(diff) * (g / diff.size)                   # d|x| cotangent
+    s = jnp.sign(diff) * (g / denom)                       # d|x| cotangent
     # d/dw_i: + sum over i's J neighbors (plain reduce)
     g_i = jnp.sum(s, axis=1)
     # d/dw_j: - sum over all rows listing j. The gather transpose would be
@@ -103,18 +122,20 @@ def _smooth_sorted_bwd(res, g):
     flat = s.reshape(n * j, k)[perm]
     g_j = jax.ops.segment_sum(flat, sorted_ids, num_segments=n,
                               indices_are_sorted=True)
-    return g_i - g_j, None, None, None
+    return g_i - g_j, None, None, None, None
 
 
 _smooth_loss_sorted.defvjp(_smooth_sorted_fwd, _smooth_sorted_bwd)
 
 
-def smooth_loss_fast(w, knn_index, perm, sorted_ids):
-    """weight_smooth_loss with a sorted-segment backward. Falls back to
-    the plain gather/scatter autodiff when no permutation is available."""
+def smooth_loss_fast(w, knn_index, perm, sorted_ids, mask):
+    """Alive-masked weight_smooth_loss with a sorted-segment backward.
+    Falls back to the plain gather/scatter autodiff when no permutation
+    is available."""
     if perm is None:
-        return weight_smooth_loss(w, knn_index)
-    return _smooth_loss_sorted(w, knn_index, perm, sorted_ids)
+        return masked_mean(jnp.abs(w[:, None] - w[knn_index]),
+                           mask[:, None, None])
+    return _smooth_loss_sorted(w, knn_index, perm, sorted_ids, mask)
 
 
 # ------------------------------------------------------- multi-chip slicing
@@ -535,7 +556,7 @@ class SKGSTrainer:
             return losses
 
         def cnet_loss(losses, params, m, t, points_out, lw, stage,
-                      aux_main=None):
+                      aux_main=None, mmean=masked_mean):
             """Canonical-net consistency (loss_canonical_net,
             sk_gs.py:1501-1515)."""
             tc = m.train_times[cfg.canonical_time_id]
@@ -566,9 +587,9 @@ class SKGSTrainer:
                                        frozen_knn=out_c.aux['knn_i'],
                                        sp_points=sp_points_c)
                 points_t = out_t.d_xyz + points_c
-            losses['c_net'] = lw['c_net'] * jnp.mean(
-                jnp.square(points_t - jax.lax.stop_gradient(points_out))
-                * m.alive[:, None])
+            losses['c_net'] = lw['c_net'] * mmean(
+                jnp.square(points_t - jax.lax.stop_gradient(points_out)),
+                m.alive[:, None])
             return losses
 
         def _core(stage: str, model: SKGSModel, opt_state, view: ViewParams,
@@ -589,6 +610,19 @@ class SKGSTrainer:
             # grad accumulation (reference nominal-batch-size,
             # my_ext/framework.py:264-306): stacked [K, ...] sample inputs
             batched = view.Tw2v.ndim == 3
+
+            def cap_masked_mean(x, mask):
+                """masked_mean over GLOBAL capacity rows. Under the gs
+                mesh, x/mask are local slices: local masked sums over the
+                psum'd global live count, pre-compensating the uniform
+                1/n_gs loss scale applied to every loss below."""
+                mask_b = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+                num = jnp.sum(x * mask_b)
+                den = jnp.sum(mask_b)
+                if par:
+                    num = num * n_gs_ax
+                    den = jax.lax.psum(den, 'gs')
+                return num / jnp.maximum(den, 1.0)
 
             def loss_fn(params, m2d_off, view, image, t, time_id, k_noise,
                         k_bg):
@@ -678,18 +712,21 @@ class SKGSTrainer:
                 aux = dict(out_def.aux)
                 if family == 'sp':
                     w = aux['knn_w']
-                    losses['sparse'] = lw['sparse'] * weight_sparsity_loss(w)
+                    ent = -(w * jnp.log(w + 1e-7)
+                            + (1 - w) * jnp.log(1 - w + 1e-7))
+                    losses['sparse'] = lw['sparse'] * cap_masked_mean(
+                        ent, m.alive[:, None])
                     if par:
                         # neighbors live on other gs shards: gather the full
-                        # weight table, difference against local rows (mean
-                        # over the slice + the 1/n_gs scale = global mean)
+                        # weight table, difference against local rows
                         w_full = jax.lax.all_gather(w, 'gs', axis=0,
                                                     tiled=True)
-                        losses['smooth'] = lw['smooth'] * jnp.mean(
-                            jnp.abs(w[:, None] - w_full[knn_index]))
+                        losses['smooth'] = lw['smooth'] * cap_masked_mean(
+                            jnp.abs(w[:, None] - w_full[knn_index]),
+                            m.alive[:, None, None])
                     else:
                         losses['smooth'] = lw['smooth'] * smooth_loss_fast(
-                            w, knn_index, knn_perm, knn_sorted)
+                            w, knn_index, knn_perm, knn_sorted, m.alive)
                     # joint discovery losses
                     cost = skeleton.joint_cost_matrix(
                         params['joint_pos'],
@@ -752,12 +789,13 @@ class SKGSTrainer:
                                 points, sp_tr, dw, sp_d_rot, sp_d_scale)
                     losses['rgb'] = jax.lax.stop_gradient(losses['rgb'])
                     losses['ssim'] = jax.lax.stop_gradient(losses['ssim'])
-                    losses['cmp_t'] = lw['cmp_t'] * jnp.mean(
-                        jnp.square(out_def.d_xyz - sp_d_xyz))
-                    losses['cmp_r'] = lw['cmp_r'] * jnp.mean(
-                        jnp.square(out_def.d_rotation - sp_rot_b))
-                    losses['cmp_s'] = lw['cmp_s'] * jnp.mean(
-                        jnp.square(out_def.d_scaling - sp_scale_b))
+                    am = m.alive[:, None]
+                    losses['cmp_t'] = lw['cmp_t'] * cap_masked_mean(
+                        jnp.square(out_def.d_xyz - sp_d_xyz), am)
+                    losses['cmp_r'] = lw['cmp_r'] * cap_masked_mean(
+                        jnp.square(out_def.d_rotation - sp_rot_b), am)
+                    losses['cmp_s'] = lw['cmp_s'] * cap_masked_mean(
+                        jnp.square(out_def.d_scaling - sp_scale_b), am)
 
                 if with_arap_p:
                     # p_arap_ct_init: KNN-distance preservation on the warped
@@ -793,7 +831,7 @@ class SKGSTrainer:
                         else None
                     losses = cnet_loss(losses, p, m, t,
                                        p['xyz'] + out_def.d_xyz, lw, stage,
-                                       aux_main=aux_main)
+                                       aux_main=aux_main, mmean=cap_masked_mean)
 
                 if par:
                     # uniform 1/n_gs: slice-mean losses sum to the global

@@ -313,10 +313,20 @@ def distill_sk_deform(cfg: SKGSConfig, model: SKGSModel, key,
         points_t2 = points_c + out.d_xyz
         sk_tr = out.aux['skT']
         diff = se3.se3_log(se3.se3_mul(se3.se3_inv(sp_tr), sk_tr))
-        cmp_t = jnp.mean(skeleton._safe_norm(diff) * model.sp_alive)
-        cmp_p = jnp.mean(jnp.square(points_t1 - points_t2) * model.alive[:, None])
-        cmp_r = jnp.mean(jnp.square(out.aux['sk_rot'] - sp_d_rot))
-        cmp_s = jnp.mean(jnp.square(out.aux['sk_scale'] - sp_d_scale))
+        # masked MEANS over live rows (not mask-multiplied means over the
+        # padded capacity): reference tensors carry no padding, so a
+        # capacity-diluted mean would scale these distill gradients with
+        # alive/capacity — and change scale at every bucket resize
+        def mmean(x, mask):
+            mb = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+            return jnp.sum(x * mb) / jnp.maximum(jnp.sum(mb), 1.0)
+        cmp_t = mmean(skeleton._safe_norm(diff), model.sp_alive)
+        cmp_p = mmean(jnp.square(points_t1 - points_t2),
+                      model.alive[:, None])
+        cmp_r = mmean(jnp.square(out.aux['sk_rot'] - sp_d_rot),
+                      model.sp_alive[:, None])
+        cmp_s = mmean(jnp.square(out.aux['sk_scale'] - sp_d_scale),
+                      model.sp_alive[:, None])
         return 0.01 * cmp_t + 1.0 * cmp_p + 0.01 * cmp_r + 0.01 * cmp_s
 
     train_params = {k: model.params[k] for k in train_names}

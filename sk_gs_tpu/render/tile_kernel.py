@@ -93,6 +93,11 @@ IMPL = {
     'diag': 'none',        # diagnostics (kernel_lab only): 'nomath' keeps
     #                        the DMA pipeline but trivializes the chunk math;
     #                        'nodma' keeps the math on stale buffer contents
+    'stage_bf16': False,   # stage the DMA'd feature rows in bf16 (half the
+    #                        gather + DMA bytes; math converts back to f32
+    #                        in-kernel). Geometry cols lose ~8 mantissa bits
+    #                        (px at 400 -> ~0.06 px quantization) — A/B for
+    #                        speed AND quality before shipping.
     'grad_reduce': 'auto',  # per-pair grad -> per-gaussian reduction:
     #                        'scatter' = XLA scatter-add segment_sum;
     #                        'sorted' = payload-sort by rank id + sorted
@@ -107,6 +112,10 @@ IMPL = {
 # small positive slack keeps the test robust to matmul re-association noise
 # near the Gaussian center, where dropping the entry would cost O(opacity).
 POWER_SKIP_EPS = 1e-4
+
+
+def _feat_dtype():
+    return jnp.bfloat16 if IMPL['stage_bf16'] else jnp.float32
 
 
 def _mat_precision():
@@ -338,7 +347,7 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     if IMPL['diag'] == 'nomath':
         @pl.when(sv_ref[i] > 0)
         def _():
-            feat = feat_buf[i % 2]
+            feat = feat_buf[i % 2].astype(jnp.float32)
             for k in range(ch):
                 color_ref[0, k, :] += jnp.broadcast_to(
                     jnp.sum(feat[:, 6 + k:7 + k], axis=0), (TILE * th,))
@@ -355,7 +364,7 @@ def _fwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, color_ref,
     # capacity, so the tail past the real pair count is all padding
     @pl.when((sv_ref[i] > 0) & (start | (jnp.max(t_run[:]) >= T_EPS)))
     def _():
-        feat = feat_buf[i % 2]
+        feat = feat_buf[i % 2].astype(jnp.float32)
         px, py = _pixel_coords(tile, grid_w, th)
         (alpha, _, _, _, _, _, om, p_excl, contrib, w,
          t_new) = _blend_math(feat, px, py, t_run[:], sv_ref[i])
@@ -416,7 +425,7 @@ def _bwd_kernel(ct_ref, cs_ref, sv_ref, sc_ref, feat_hbm, gcolor_ref,
 
     @pl.when(live)
     def _():
-        feat = feat_buf[i % 2]
+        feat = feat_buf[i % 2].astype(jnp.float32)
         px, py = _pixel_coords(tile, grid_w, th)
         P = TILE * th
         (alpha, alpha_raw, g, dx, dy, keep, om, p_excl, contrib, w,
@@ -533,7 +542,7 @@ def _fwd_kernel_tile(ts_ref, tc_ref, feat_hbm, color_ref, alpha_ref,
 
         @pl.when(alive)
         def _():
-            feat = feat_buf[j % 2]
+            feat = feat_buf[j % 2].astype(jnp.float32)
             n_valid = jnp.minimum(cnt - j * C, C)
             (alpha, _, _, om, p_excl, contrib, w, t_new,
              _coef) = _blend_core(feat, basis, t_run[:], n_valid)
@@ -620,7 +629,7 @@ def _bwd_kernel_tile(ts_ref, tc_ref, feat_hbm, gcolor_ref, galpha_ref,
 
         @pl.when(alive)
         def _():
-            feat = feat_buf[s]
+            feat = feat_buf[s].astype(jnp.float32)
             (alpha, alpha_raw, keep, om, p_excl, contrib, w, t_new,
              (a, b, c, o, xl, yl)) = _blend_core(feat, basis, t_run[:],
                                                  n_valid)
@@ -733,7 +742,7 @@ def _pallas_forward_tile(feat_s, tile_start, tile_count, cfg: RasterConfig,
         ],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), _feat_dtype()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -770,7 +779,7 @@ def _pallas_backward_tile(feat_s, tile_start, tile_count, color, alpha,
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), _feat_dtype()),
             pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -803,7 +812,7 @@ def _pallas_forward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
         ],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), _feat_dtype()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -840,7 +849,7 @@ def _pallas_backward(feat_s, chunk_tile, chunk_start, chunk_valid, chunk_src,
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((ch, P), jnp.float32),
-            pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
+            pltpu.VMEM((2, C, NUM_FEAT), _feat_dtype()),
             pltpu.VMEM((2, C, NUM_FEAT), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -882,6 +891,8 @@ def _build_feat_sorted(sort_gauss, xys, conic, opa, col):
         xys, conic, opa[:, None], col,
         jnp.zeros((xys.shape[0], NUM_FEAT - 6 - ch), xys.dtype)
     ], axis=-1)
+    if IMPL['stage_bf16']:
+        feat = feat.astype(jnp.bfloat16)  # halves the gather + DMA bytes
     return feat[sort_gauss]
 
 

@@ -150,12 +150,22 @@ class TestSmoothLossFast:
         flat = np.asarray(knn).reshape(-1)
         perm = jnp.asarray(np.argsort(flat, kind='stable').astype(np.int32))
         sorted_ids = jnp.asarray(flat[np.asarray(perm)])
-        l1 = weight_smooth_loss(w, knn)
-        l2 = smooth_loss_fast(w, knn, perm, sorted_ids)
-        assert np.allclose(float(l1), float(l2), rtol=1e-7)
-        g1 = jax.grad(lambda w: weight_smooth_loss(w, knn))(w)
-        g2 = jax.grad(lambda w: smooth_loss_fast(w, knn, perm, sorted_ids))(w)
+        mask = jnp.asarray(rng.uniform(size=n) > 0.3)  # alive subset
+        ref = lambda w: jnp.sum(
+            jnp.abs(w[:, None] - w[knn]) * mask[:, None, None]) \
+            / (jnp.sum(mask) * j * k)
+        l1 = ref(w)
+        l2 = smooth_loss_fast(w, knn, perm, sorted_ids, mask)
+        assert np.allclose(float(l1), float(l2), rtol=1e-6)
+        g1 = jax.grad(ref)(w)
+        g2 = jax.grad(lambda w: smooth_loss_fast(w, knn, perm, sorted_ids,
+                                                 mask))(w)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+        # all-alive mask reduces to the plain mean
+        ones = jnp.ones(n, bool)
+        l3 = smooth_loss_fast(w, knn, perm, sorted_ids, ones)
+        assert np.allclose(float(l3), float(weight_smooth_loss(w, knn)),
+                           rtol=1e-6)
 
 
 class TestSortedGradReduce:
