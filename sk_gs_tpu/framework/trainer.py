@@ -1118,7 +1118,10 @@ class SKGSTrainer:
             params['xyz'] + out_c.d_xyz)
         new_params['sp_points'] = jax.lax.stop_gradient(se3_ops.se3_act(
             out_c.aux['spT'], params['sp_points'][..., :3]))
-        new_params['sp_deform'] = jax.tree.map(lambda x: x,
+        # DEEP copy, not an identity map: sp_deform and canonical sharing
+        # the same buffers makes the donated step see duplicate donated
+        # inputs -> TPU INVALID_ARGUMENT (reproduced at step 20000)
+        new_params['sp_deform'] = jax.tree.map(jnp.array,
                                                params['canonical'])
         st.model = st.model._replace(params=new_params)
         log.info('canonical net replacement applied at step %d', st.step + 1)
