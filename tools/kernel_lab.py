@@ -38,6 +38,11 @@ def main():
                     help="'scatter' | 'sorted' pair-grad reduction A/B")
     ap.add_argument('--tile_h', type=int, default=16,
                     help='tile height in px (16 = CUDA parity; 8 = 16x8)')
+    ap.add_argument('--stage_bf16', type=int, default=None,
+                    help='stage DMA feature rows in bf16 (1) vs f32 (0)')
+    ap.add_argument('--t_eps', type=float, default=None,
+                    help='override the transmittance early-out threshold '
+                         '(ceiling probe for per-pixel termination)')
     ap.add_argument('--sweep', action='store_true',
                     help='run the predefined knob sweep in one process')
     args = ap.parse_args()
@@ -74,6 +79,10 @@ def run_combo(args, cumprod, cumsum, gate, chunk, diag='none'):
     from sk_gs_tpu.render import tile_kernel as tk
     import sk_gs_tpu.ops.transforms as tf
 
+    if args.stage_bf16 is not None:
+        tk.IMPL['stage_bf16'] = bool(args.stage_bf16)
+    if args.t_eps is not None:
+        tk.T_EPS = float(args.t_eps)
     tk.IMPL['cumprod'] = cumprod
     tk.IMPL['cumsum'] = cumsum
     tk.IMPL['gate_dma'] = bool(gate)
