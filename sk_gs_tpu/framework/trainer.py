@@ -1066,6 +1066,23 @@ class SKGSTrainer:
         if (not st.reinit_done and step == stages['sp_fix'][0]
                 and has_sp and stages['sp_fix'][0] > 0
                 and self.pcd is not None):
+            # the reinit needs room for ALL pcd points: a bucketed run may
+            # have shrunk capacity below that (the init-stage superpoint
+            # replacement leaves only ~M alive) — grow the bucket first
+            n_pts = len(self.pcd[0])
+            if self.capacity_buckets and st.model.capacity < n_pts:
+                from ..models import capacity as cap_mod
+                new_cap = cap_mod.next_bucket(
+                    n_pts, min_bucket=self._cap_min_bucket,
+                    multiple=self._cap_multiple, max_cap=self._max_capacity)
+                log.info('step %d: capacity %d -> %d for the pcd reinit '
+                         '(%d points)', step, st.model.capacity, new_cap,
+                         n_pts)
+                st.model, st.opt_state = cap_mod.resize_model(
+                    st.model, st.opt_state, new_cap)
+                self.update_gs_knn(step, force=True)
+                self._step_fns.clear()
+                self._eval_fns.clear()
             st.model, st.opt_state = sk_gs_ops.reinit_gaussians_at_sp_fix(
                 cfg, st.model, st.opt_state, self.pcd[0], self.pcd[1])
             st.reinit_done = True

@@ -95,9 +95,13 @@ IMPL = {
     #                        'nodma' keeps the math on stale buffer contents
     'stage_bf16': False,   # stage the DMA'd feature rows in bf16 (half the
     #                        gather + DMA bytes; math converts back to f32
-    #                        in-kernel). Geometry cols lose ~8 mantissa bits
-    #                        (px at 400 -> ~0.06 px quantization) — A/B for
-    #                        speed AND quality before shipping.
+    #                        in-kernel). REFUTED on hardware (round 5): the
+    #                        expected ceiling was small (DMA is ~5% of the
+    #                        kernel per the round-1 bandwidth estimate) and
+    #                        Mosaic cannot dynamically slice packed-bf16
+    #                        HBM memrefs at chunk offsets (tpu.memref_slice
+    #                        verification failure) — works in interpret
+    #                        mode only (tests); raises loudly on TPU.
     'grad_reduce': 'auto',  # per-pair grad -> per-gaussian reduction:
     #                        'scatter' = XLA scatter-add segment_sum;
     #                        'sorted' = payload-sort by rank id + sorted
@@ -886,6 +890,11 @@ def blend_chunks_pallas(binned: BinnedSplats, xys, conic, opa, col,
 
 def _build_feat_sorted(sort_gauss, xys, conic, opa, col):
     """[K_io, NUM_FEAT] tile-sorted splat features (one row gather)."""
+    if IMPL['stage_bf16'] and not INTERPRET:
+        raise NotImplementedError(
+            "stage_bf16: Mosaic cannot dynamically slice packed-bf16 HBM "
+            "memrefs at chunk offsets (tpu.memref_slice verification "
+            "failure on v5e); interpret-mode only — see IMPL comment")
     ch = col.shape[-1]
     feat = jnp.concatenate([
         xys, conic, opa[:, None], col,
