@@ -72,6 +72,8 @@ def main():
         cap = next(int(z[k].shape[0]) for k in z.files
                    if k.endswith('model/params/xyz'))
     skcfg = skcfg._replace(gauss=skcfg.gauss._replace(capacity=cap))
+    if len(sys.argv) > 3:
+        rcfg = rcfg._replace(pair_capacity=int(sys.argv[3]))
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.3, 1.3, size=(min(2000, cap), 3)).astype(np.float32)
     cols = rng.uniform(size=(pts.shape[0], 3)).astype(np.float32)
