@@ -28,12 +28,20 @@ def _ssim_components(x: jnp.ndarray, y: jnp.ndarray, window_size: int = 11):
     """Returns (mean luminance-contrast term l, contrast-structure term cs)."""
     import jax.lax as lax
     c = x.shape[1]
-    w = jnp.asarray(_gaussian_window(window_size))
-    w = jnp.tile(w[None, None], (c, 1, 1, 1))
+    # separable window (outer(g,g)): two 1-D VALID passes == the 2-D VALID
+    # conv exactly, at 11x fewer MACs (see models/losses.ssim)
+    g1 = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+                / (2.0 * 1.5 ** 2)).astype(np.float32)
+    g1 /= g1.sum()
+    wh = jnp.tile(jnp.asarray(g1)[None, None, :, None], (c, 1, 1, 1))
+    ww = jnp.tile(jnp.asarray(g1)[None, None, None, :], (c, 1, 1, 1))
 
     def conv(z):
+        z = lax.conv_general_dilated(
+            z, wh, (1, 1), 'VALID', feature_group_count=c,
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
         return lax.conv_general_dilated(
-            z, w, (1, 1), 'VALID', feature_group_count=c,
+            z, ww, (1, 1), 'VALID', feature_group_count=c,
             dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
 
     mu1, mu2 = conv(x), conv(y)
