@@ -119,3 +119,28 @@ def test_bucketed_training_matches_quality():
     pb = float(big.evaluate(stage='sp')['PSNR'])
     psd = float(small.evaluate(stage='sp')['PSNR'])
     assert psd > pb - 2.0, (psd, pb)  # same quality regime
+
+
+@pytest.mark.slow
+def test_reinit_grows_bucket_to_fit_pcd():
+    """A bucketed run whose capacity shrank below the pcd size must grow
+    the bucket at the sp_fix re-initialization instead of asserting
+    (hit live in the dense-scene run: init-stage superpoint replacement
+    leaves ~M alive -> bucket shrinks -> reinit needs len(pcd) rows)."""
+    synthetic = make_synthetic_scene(
+        seed=0, num_links=2, gauss_per_link=60, num_frames=8, h=48, w=48,
+        pair_capacity=2 ** 13, chunk=64)
+    cfg = tiny_cfg(8)
+    tr = _make_trainer(synthetic, cfg, n_cap=1024, buckets=True)
+    tr._cap_min_bucket = 64
+    tr._cap_multiple = 32
+    # pcd bigger than the min bucket: after init_superpoints (16 alive at
+    # step 10) the bucket collapses well below len(pcd)=200
+    n_steps = cfg.stages['sp_fix'][0] + 2    # cross the reinit event
+    for s in range(1, n_steps + 1):
+        m = tr.train_step(s)
+    assert tr.state.reinit_done
+    n_alive = int(jnp.sum(tr.state.model.alive))
+    assert n_alive == len(tr.pcd[0]), n_alive
+    assert tr.state.model.capacity >= n_alive
+    assert np.isfinite(float(m['loss']))
