@@ -892,6 +892,16 @@ class SKGSTrainer:
                 m2d_grad = mg_sum / K_tot
                 aux = jax.tree.map(lambda x: x[-1], aux_k)
                 time_ids = time_id
+            # gradient sanitization: a single degenerate splat can emit a
+            # localized NaN gradient (seen live at dense-run step 12940:
+            # one row's xyz/scaling/rotation grad went non-finite and one
+            # Adam update poisoned the row, then the whole model). Dropping
+            # the non-finite ENTRIES keeps every healthy gradient; the
+            # count is surfaced in metrics as n_bad_grad for visibility.
+            n_bad_grad = sum(
+                jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(pgrads))
+            pgrads = jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), pgrads)
             new_params, new_opt = self.opt_update(
                 pgrads, opt_state, model.params, lrs,
                 clip_norm=self.clip_norm)
@@ -968,6 +978,7 @@ class SKGSTrainer:
                        'overflow': ovf,
                        'num_pairs': npairs,
                        'n_vis': jnp.max(aux_k['n_vis']),
+                       'n_bad_grad': n_bad_grad,
                        'dxyz_max': jnp.max(aux_k['dxyz_max']),
                        **{k: v / K_tot for k, v in loss_sums.items()}}
             return model, new_opt, metrics

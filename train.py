@@ -444,7 +444,12 @@ def main(argv=None):
                 trainer._cap_dirty = True
             extra = {k: round(float(v), 6) for k, v in metrics.items()
                      if k in ('n_vis', 'dxyz_max', 'rgb', 'ssim', 'smooth',
-                              'sparse', 'c_net', 'cmp_p')}
+                              'sparse', 'c_net', 'cmp_p', 'n_bad_grad')}
+            if extra.get('n_bad_grad', 0) > 0:
+                logging.warning(
+                    'step %d: %d non-finite gradient entries dropped '
+                    '(degenerate splat backward?)', step,
+                    int(extra['n_bad_grad']))
             metrics_log.write(json.dumps(
                 {'step': step, 'stage': skcfg.stage_at(step),
                  'loss': loss_f, 'psnr': psnr_f,
